@@ -1,0 +1,157 @@
+"""Deterministic HTML → text extraction (operator T2 of SURVEY.md §2.4).
+
+This is the single scalar core shared *verbatim* by the single-node oracle
+(`plans/oracle.py`) and the Spark Arrow-vectorized UDFs (`plans/wave.py`) —
+byte-identity of extracted text per url is therefore true by construction
+and asserted by tests.
+
+Semantics pin the Rust reference's trafilatura invocation
+(`rust/src/trafilatura.rs:17-18`: ``include_comments=False,
+include_tables=False, deduplicate=True``) combined with the Go extractor's
+script/style removal + whitespace collapse
+(`golang/worker/worker.go:36-51`):
+
+- decode bytes as UTF-8 with replacement (lossy), matching the Rust worker
+  (`rust/src/bin/worker.rs:57` ``from_utf8_lossy``);
+- drop ``<script>``/``<style>`` subtrees and HTML comments entirely;
+- drop ``<table>`` subtrees (``include_tables=False``);
+- split remaining text into blocks at block-level tags, collapse each
+  block's whitespace runs to single spaces (`golang/worker/worker.go:48`);
+- de-duplicate repeated blocks within a document (``deduplicate=True``);
+- join blocks with a single ``\n``; return ``None`` when no text survives
+  (extraction-failure skip, `rust/src/bin/worker.rs:69-74`).
+
+No third-party packages — ``html.parser`` stdlib only, so the exact same
+bytes-in → string-out function runs inside Spark Python workers and in the
+oracle process.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Comments are stripped before tokenization so that an *unclosed* comment
+# swallows the rest of the document (HTML5 EOF-in-comment behavior) instead
+# of leaking raw markup into text, which html.parser would otherwise do.
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.DOTALL)
+
+# Subtrees removed wholesale: script/style (golang/worker/worker.go:40-44)
+# plus table (rust/src/trafilatura.rs:18 include_tables=False).
+_DROP_SUBTREES = frozenset({"script", "style", "table"})
+
+# Tags that delimit text blocks (paragraph-level boundaries).
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "li", "ul", "ol", "br", "h1", "h2", "h3", "h4", "h5",
+        "h6", "tr", "td", "th", "section", "article", "header", "footer",
+        "nav", "aside", "main", "blockquote", "pre", "title", "body",
+        "html", "head", "figure", "figcaption", "dt", "dd", "dl", "hr",
+    }
+)
+
+# Self-closing among the drop set never occurs; void elements in block set:
+_VOID_TAGS = frozenset({"br", "hr"})
+
+
+class _TextExtractor(HTMLParser):
+    """Streaming block collector. Comments are ignored because
+    ``handle_comment`` is not overridden (include_comments=False)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_depth = 0
+        self._buf: list[str] = []
+        self.blocks: list[str] = []
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        # Collapse all whitespace runs to single spaces within the block
+        # (strings.Join(strings.Fields(text), " "), golang/worker/worker.go:48).
+        text = " ".join("".join(self._buf).split())
+        self._buf = []
+        if text:
+            self.blocks.append(text)
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _DROP_SUBTREES:
+            self._drop_depth += 1
+        elif tag in _BLOCK_TAGS and self._drop_depth == 0:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _BLOCK_TAGS and self._drop_depth == 0:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_SUBTREES:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+        elif tag in _BLOCK_TAGS and tag not in _VOID_TAGS and self._drop_depth == 0:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth == 0:
+            self._buf.append(data)
+
+
+def decode_lossy(html: bytes | str | None) -> str | None:
+    """UTF-8 decode with replacement chars (rust/src/bin/worker.rs:57)."""
+    if html is None:
+        return None
+    if isinstance(html, str):
+        return html
+    return html.decode("utf-8", errors="replace")
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """HTML bytes → plain text, or None when nothing extractable.
+
+    Deterministic and pure; the per-row invariant of the build
+    (BASELINE.json input_hint: byte-identical extracted text per url).
+    """
+    decoded = decode_lossy(html)
+    if decoded is None or not decoded.strip():
+        return None
+    decoded = _COMMENT_RE.sub("", decoded)
+    parser = _TextExtractor()
+    try:
+        parser.feed(decoded)
+        parser.close()
+    except Exception:
+        # Malformed-document skip (extraction-failure skip F9,
+        # rust/src/bin/worker.rs:69-74).
+        return None
+    parser._flush()
+    if not parser.blocks:
+        return None
+    # deduplicate=True (rust/src/trafilatura.rs:18): drop exact repeats of
+    # earlier blocks within the same document, preserving first occurrence.
+    seen: set[str] = set()
+    kept: list[str] = []
+    for block in parser.blocks:
+        if block not in seen:
+            seen.add(block)
+            kept.append(block)
+    out = "\n".join(kept)
+    return out if out else None
+
+
+def split_http_response(body: bytes) -> bytes | None:
+    """HTTP header/body split (operator P5): find the first blank line and
+    return everything after it, or None when absent.
+
+    Canonical semantics = Rust (`rust/src/bin/worker.rs:57-66`): try
+    ``\\r\\n\\r\\n`` first then ``\\n\\n`` (the Go variant,
+    `golang/worker/worker.go:104-113`, had an off-by-2 on the ``\\n\\n``
+    path that we do not reproduce); the returned slice *excludes* the
+    separator. None → body-split failure skip (F8).
+    """
+    idx = body.find(b"\r\n\r\n")
+    if idx >= 0:
+        return body[idx + 4 :]
+    idx = body.find(b"\n\n")
+    if idx >= 0:
+        return body[idx + 2 :]
+    return None

@@ -1,0 +1,54 @@
+"""Link discovery: ``<a href>`` extraction from HTML (north-rule addition;
+the reference discards page content without link-following —
+`python/worker.py:26-27` "TODO: process text").
+
+Pure Python, shared by oracle and UDFs. Links are resolved against the
+page URL, restricted to http(s), canonicalized, de-duplicated preserving
+first-occurrence order (document order = deterministic discovery order).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+from .extract import decode_lossy
+from .urls import canonicalize_url
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+                    break
+
+
+def extract_links(html: bytes | str | None, base_url: str) -> list[str]:
+    """All out-links of a page, canonicalized, first-occurrence order."""
+    decoded = decode_lossy(html)
+    if not decoded:
+        return []
+    parser = _LinkCollector()
+    try:
+        parser.feed(decoded)
+        parser.close()
+    except Exception:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.hrefs:
+        try:
+            absolute = urljoin(base_url, href.strip())
+        except ValueError:
+            continue
+        canon = canonicalize_url(absolute)
+        if canon is not None and canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out

@@ -1,0 +1,101 @@
+"""URL canonicalization, SURT form, host extraction, 64-bit URL hashing.
+
+Shared verbatim by the oracle and the Spark UDFs (one implementation →
+identical results by construction). SURT form mirrors the Common Crawl
+index key the reference consumes (`Readme.md:55`, sample keys at
+`rust/src/bin/batcher.rs:116-118`); the reference itself never computes
+SURT (it reads pre-sorted indexes) — we need it for deterministic global
+crawl ordering (SURVEY.md §2.5 B3).
+
+``url_hash64`` uses sha256's first 8 bytes (big-endian, two's-complement
+signed so it fits Spark ``LongType``) rather than ``F.xxhash64`` so that
+the oracle and UDF share one stdlib implementation (SURVEY.md §7 Step 1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+from urllib.parse import urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Deterministic canonical form: lowercase scheme+host, strip default
+    port, drop fragment, normalize dot-segments, ensure non-empty path.
+
+    Returns None for non-http(s) or unparseable URLs (those never enter
+    the frontier).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    try:
+        host = parts.hostname
+        port = parts.port
+    except ValueError:
+        return None
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    # urlsplit().hostname strips the brackets of IPv6 literals; restore
+    # them or the canonical form won't round-trip through urlsplit.
+    netloc = f"[{host}]" if ":" in host else host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{netloc}:{port}"
+    path = parts.path or "/"
+    # Remove dot segments; posixpath.normpath also collapses '//' runs.
+    norm = posixpath.normpath(path)
+    if norm == ".":
+        norm = "/"
+    if path.endswith("/") and not norm.endswith("/"):
+        norm += "/"
+    return urlunsplit((scheme, netloc, norm, parts.query, ""))
+
+
+def host_of(url: str | None) -> str | None:
+    """Registered host (lowercase, no port) of a canonical-ish URL."""
+    if url is None:
+        return None
+    try:
+        host = urlsplit(url).hostname
+    except ValueError:
+        return None
+    return host.lower().rstrip(".") if host else None
+
+
+def surt(url: str | None) -> str | None:
+    """SURT sort key: reversed host labels + path, e.g.
+    ``http://example.com/a?q=1`` → ``com,example)/a?q=1``
+    (format per /root/reference/Readme.md:55 and the cluster.idx samples at
+    rust/src/bin/batcher.rs:125-128). Port kept when non-default."""
+    canon = canonicalize_url(url)
+    if canon is None:
+        return None
+    parts = urlsplit(canon)
+    host = parts.hostname or ""
+    # IPv6 literals have no label structure to reverse.
+    rev = host if ":" in host else ",".join(reversed(host.split(".")))
+    if parts.port is not None:
+        rev += f":{parts.port}"
+    tail = parts.path
+    if parts.query:
+        tail += "?" + parts.query
+    return f"{rev}){tail}"
+
+
+def url_hash64(canon_url: str) -> int:
+    """First 8 bytes of sha256(canon_url), as signed int64 (Spark Long)."""
+    digest = hashlib.sha256(canon_url.encode("utf-8")).digest()
+    value = int.from_bytes(digest[:8], "big")
+    return value - (1 << 64) if value >= (1 << 63) else value

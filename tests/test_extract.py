@@ -1,0 +1,114 @@
+"""Unit tests for the pure extraction core (SURVEY.md §7 Step 1)."""
+
+from basic_common_crawl_pipeline_spark.functions.extract import (
+    extract_text,
+    split_http_response,
+)
+from basic_common_crawl_pipeline_spark.functions.links import extract_links
+from basic_common_crawl_pipeline_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    surt,
+    url_hash64,
+)
+
+
+def test_extract_basic_blocks():
+    html = b"<html><body><h1>Title</h1><p>Hello   world</p><p>Second</p></body></html>"
+    assert extract_text(html) == "Title\nHello world\nSecond"
+
+
+def test_extract_drops_script_style_tables_comments():
+    html = (
+        b"<body><p>keep</p><script>var x = 'drop';</script>"
+        b"<style>p { color: red }</style>"
+        b"<table><tr><td>cell</td></tr></table>"
+        b"<!-- comment text --><p>also keep</p></body>"
+    )
+    assert extract_text(html) == "keep\nalso keep"
+
+
+def test_extract_dedups_repeated_blocks():
+    # deduplicate=True pin (rust/src/trafilatura.rs:18)
+    html = b"<p>repeat</p><p>unique</p><p>repeat</p>"
+    assert extract_text(html) == "repeat\nunique"
+
+
+def test_extract_lossy_decode_invalid_utf8():
+    # \xff is invalid UTF-8 → replacement char, not an error
+    # (rust/src/bin/worker.rs:57 from_utf8_lossy)
+    html = b"<p>bad \xff byte</p>"
+    assert extract_text(html) == "bad � byte"
+
+
+def test_extract_none_on_empty():
+    assert extract_text(b"") is None
+    assert extract_text(b"<script>only code</script>") is None
+    assert extract_text(None) is None
+
+
+def test_extract_whitespace_collapse():
+    # golang/worker/worker.go:48 strings.Fields join
+    html = b"<p>a\n\t  b\r\n c</p>"
+    assert extract_text(html) == "a b c"
+
+
+def test_split_http_response_crlf_and_lf():
+    # Rust-canonical semantics (rust/src/bin/worker.rs:57-66)
+    assert split_http_response(b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>") == b"<html>"
+    assert split_http_response(b"HTTP/1.1 200 OK\nX: y\n\n<html>") == b"<html>"
+    assert split_http_response(b"no blank line") is None
+
+
+def test_canonicalize_url():
+    assert canonicalize_url("HTTP://Example.COM:80/a/../b#frag") == "http://example.com/b"
+    assert canonicalize_url("https://example.com:443/") == "https://example.com/"
+    assert canonicalize_url("https://example.com:8443/x?q=1") == "https://example.com:8443/x?q=1"
+    assert canonicalize_url("http://example.com") == "http://example.com/"
+    assert canonicalize_url("ftp://example.com/x") is None
+    assert canonicalize_url("not a url") is None
+    assert canonicalize_url(None) is None
+
+
+def test_canonicalize_preserves_trailing_slash_and_query():
+    assert canonicalize_url("http://a.com/dir/") == "http://a.com/dir/"
+    assert canonicalize_url("http://a.com/dir//x") == "http://a.com/dir/x"
+
+
+def test_host_and_surt():
+    assert host_of("http://Sub.Example.com/x") == "sub.example.com"
+    assert surt("http://example.com/a?q=1") == "com,example)/a?q=1"
+    assert surt("https://a.b.c.org/") == "org,c,b,a)/"
+
+
+def test_url_hash64_signed_and_stable():
+    h = url_hash64("http://example.com/")
+    assert -(1 << 63) <= h < (1 << 63)
+    assert h == url_hash64("http://example.com/")
+    assert h != url_hash64("http://example.com/x")
+
+
+def test_extract_unclosed_comment_swallows_tail():
+    # HTML5 EOF-in-comment: no raw markup may leak into text
+    assert extract_text(b"<p>before</p><!-- oops <p>after</p>") == "before"
+
+
+def test_canonicalize_ipv6_roundtrips():
+    canon = canonicalize_url("http://[::1]:8080/x")
+    assert canon == "http://[::1]:8080/x"
+    assert canonicalize_url(canon) == canon
+    assert surt(canon) == "::1:8080)/x"
+
+
+def test_extract_links_resolution_and_dedup():
+    html = (
+        b'<a href="/rel">a</a><a href="http://other.com/abs">b</a>'
+        b'<a href="/rel">dup</a><a href="mailto:x@y.z">skip</a>'
+        b'<a href="#frag">self</a>'
+    )
+    links = extract_links(html, "http://base.com/dir/page")
+    assert links == [
+        "http://base.com/rel",
+        "http://other.com/abs",
+        "http://base.com/dir/page",
+    ]
