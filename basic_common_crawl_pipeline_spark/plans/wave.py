@@ -1,0 +1,264 @@
+"""One frontier-expansion wave as a single declarative DataFrame job
+(SURVEY.md §7 Step 3; semantics in plans/config.py).
+
+Spark-first restructuring of the reference's two processes
+(batcher: rust/src/bin/batcher.rs:54-107, worker: rust/src/bin/worker.rs:21-85):
+the queue boundary becomes the shuffle, the per-entry HTTP loop becomes a
+partitioned join against the pages table, and the trafilatura FFI
+(rust/src/trafilatura.rs:26-58, one GIL crossing per record) becomes one
+Arrow-vectorized ``mapInPandas`` over html batches.
+
+Scale notes (100 TB design point):
+- the index join (step 3) reads ONLY (url, status, lang) — column pruning
+  keeps the scan off the fat ``html`` column; the html join (step 7)
+  happens *after* politeness cut the wave to ≤ Σ host budgets rows, the
+  exact filter-before-fetch ordering the reference uses
+  (rust/src/bin/batcher.rs:88-95, SURVEY.md §4);
+- robots is a broadcast join (small dim);
+- politeness is the salted two-phase top-k (operators/politeness.py);
+- crawl order is the two-phase range-partitioned sequencer
+  (operators/ordering.py) — no single-partition windows;
+- all Python is Arrow-batched (pandas_udf / mapInPandas), never per-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.extract import extract_text
+from ..functions.links import extract_links
+from ..functions.urls import canonicalize_url, host_of, surt
+from ..operators.ordering import with_global_seq
+from ..operators.politeness import select_per_host_topk
+from .config import CrawlConfig
+
+_HOST_SURT_SCHEMA = StructType(
+    [StructField("host", StringType()), StructField("surt", StringType())]
+)
+
+
+@pandas_udf(StringType())
+def canon_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url)
+
+
+@pandas_udf(_HOST_SURT_SCHEMA)
+def host_surt_udf(urls: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"host": urls.map(host_of), "surt": urls.map(surt)}
+    )
+
+
+_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """html → (text, out-links); the single hot-path Python crossing.
+    Uses the same scalar core as the oracle → byte-identity by
+    construction (BASELINE.json per-row invariant)."""
+    for batch in batches:
+        texts, links = [], []
+        for url, html in zip(batch["canon_url"], batch["html"]):
+            texts.append(extract_text(html))
+            links.append(extract_links(html, url))
+        yield pd.DataFrame(
+            {"canon_url": batch["canon_url"], "text": texts, "links": links}
+        )
+
+
+def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
+    """Seed URLs → canonical frontier rows (canon_url, host, surt, priority)."""
+    return (
+        seeds.withColumn("canon_url", canon_udf(F.col("url")))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.min("priority").cast("int").alias("priority"))
+        .withColumn("hs", host_surt_udf(F.col("canon_url")))
+        .select("canon_url", F.col("hs.host").alias("host"),
+                F.col("hs.surt").alias("surt"), "priority")
+    )
+
+
+def empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "canon_url string")
+
+
+@dataclass
+class WaveOutput:
+    crawl_order: DataFrame   # seq, wave, url, host, priority
+    results: DataFrame       # wave, canon_url, host, priority, text
+    new_frontier: DataFrame  # canon_url, host, surt, priority
+    new_seen: DataFrame      # canon_url
+    metrics: dict
+
+
+def run_wave(
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    wave: int,
+    config: CrawlConfig = CrawlConfig(),
+    next_seq: int = 1,
+) -> WaveOutput:
+    # 1. candidates = frontier ∖ seen (frontier discipline keeps them
+    #    disjoint already; the anti-join also covers resumed state)
+    cand = frontier.join(seen, "canon_url", "left_anti")
+
+    # 2. robots gate — broadcast join on host (J3)
+    policy = F.broadcast(
+        robots.select(
+            "host",
+            F.col("crawl_delay").alias("__delay"),
+            F.col("disallow").alias("__disallow"),
+        )
+    )
+    cand = (
+        cand.join(policy, "host", "left")
+        .withColumn("__delay", F.coalesce("__delay", F.lit(config.default_crawl_delay)))
+        .withColumn("__path", F.parse_url("canon_url", F.lit("PATH")))
+        .withColumn(
+            "__disallowed",
+            F.exists(
+                F.coalesce("__disallow", F.array().cast("array<string>")),
+                lambda d: F.col("__path").startswith(d),
+            ),
+        )
+    )
+
+    # 3. index lookup (J1 metadata side): scan reads ONLY url/status/lang
+    index = pages.select(
+        F.col("url").alias("canon_url"),
+        F.col("status").alias("__status"),
+        F.col("lang").alias("__lang"),
+    )
+    cand = cand.join(index, "canon_url", "left")
+
+    # 4. classify: disallowed / miss / ineligible / eligible (F1-F3)
+    lang_ok = F.array_contains(
+        F.transform(F.split("__lang", ","), lambda t: F.trim(t)),
+        config.language,
+    )
+    cand = cand.withColumn(
+        "__class",
+        F.when(F.col("__disallowed"), F.lit("disallowed"))
+        .when(F.col("__status").isNull(), F.lit("miss"))
+        .when((F.col("__status") == 200) & F.coalesce(lang_ok, F.lit(False)),
+              F.lit("eligible"))
+        .otherwise(F.lit("ineligible")),
+    ).persist()
+
+    class_counts = {
+        r["__class"]: r["count"]
+        for r in cand.groupBy("__class").count().collect()
+    }
+
+    # 5. politeness: budget = max(1, floor(wave_seconds / crawl_delay))
+    eligible = cand.filter(F.col("__class") == "eligible").withColumn(
+        "budget",
+        F.greatest(F.lit(1), F.floor(F.lit(config.wave_seconds) / F.col("__delay"))),
+    )
+    selected = select_per_host_topk(
+        eligible,
+        salt_partitions=config.salt_partitions,
+    ).select("canon_url", "host", "surt", "priority").persist()
+    deferred = (
+        eligible.join(selected.select("canon_url"), "canon_url", "left_anti")
+        .select("canon_url", "host", "surt", "priority")
+    )
+
+    # 6. crawl order: global sequence over the total ORDER_KEY
+    crawl_order = with_global_seq(
+        selected.withColumn("wave", F.lit(wave)),
+        order_cols=["priority", "surt", "canon_url"],
+        start=next_seq,
+    ).select("seq", "wave", F.col("canon_url").alias("url"), "host", "priority")
+
+    # 7. fetch + extract (J1 content side): html joined ONLY for selected
+    fetched = selected.join(
+        pages.select(F.col("url").alias("canon_url"), "html"), "canon_url", "left"
+    )
+    extracted = (
+        fetched.select("canon_url", "html")
+        .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+        .join(selected, "canon_url")
+        .persist()
+    )
+    results = extracted.filter(F.col("text").isNotNull()).select(
+        F.lit(wave).alias("wave"), "canon_url", "host", "priority", "text"
+    )
+
+    n_selected = selected.count()
+    n_extracted = results.count()
+
+    # 8. seen' = seen ∪ processed (everything but deferred)
+    processed = cand.filter(F.col("__class") != "eligible").select(
+        "canon_url"
+    ).unionByName(selected.select("canon_url"))
+    new_seen = seen.unionByName(processed).distinct()
+
+    # 9. discovery: out-links, BFS priority, min-priority merge with deferred
+    discovered = (
+        extracted.select(
+            F.explode("links").alias("canon_url"),
+            (F.col("priority") + 1).alias("priority"),
+        )
+    )
+    n_discovered = discovered.count()
+    new_links = (
+        discovered.groupBy("canon_url")
+        .agg(F.min("priority").cast("int").alias("priority"))
+        .join(new_seen, "canon_url", "left_anti")
+        .withColumn("hs", host_surt_udf(F.col("canon_url")))
+        .select("canon_url", F.col("hs.host").alias("host"),
+                F.col("hs.surt").alias("surt"), "priority")
+    )
+    new_frontier = (
+        deferred.unionByName(new_links)
+        .groupBy("canon_url")
+        .agg(
+            F.min("host").alias("host"),
+            F.min("surt").alias("surt"),
+            F.min("priority").cast("int").alias("priority"),
+        )
+        .select("canon_url", "host", "surt", "priority")
+    )
+
+    metrics = {
+        "wave": wave,
+        "candidates": sum(class_counts.values()),
+        "disallowed": class_counts.get("disallowed", 0),
+        "misses": class_counts.get("miss", 0),
+        "ineligible": class_counts.get("ineligible", 0),
+        "selected": n_selected,
+        "deferred": class_counts.get("eligible", 0) - n_selected,
+        "extracted": n_extracted,
+        "extract_failures": n_selected - n_extracted,
+        "discovered": n_discovered,
+    }
+    return WaveOutput(
+        crawl_order=crawl_order,
+        results=results,
+        new_frontier=new_frontier,
+        new_seen=new_seen,
+        metrics=metrics,
+    )

@@ -1,0 +1,79 @@
+"""Iceberg-style snapshot store over Parquet (SURVEY.md §4).
+
+The sandbox has no Iceberg runtime jars, so resumable crawl state uses an
+Iceberg-semantics-compatible layout that swaps cleanly for
+``df.writeTo(...).append()`` when a real catalog is configured:
+
+    <root>/<table>/snap-<N>/part-*.parquet   immutable snapshot data
+    <root>/manifest-<N>.json                 tables + row counts + extras
+    <root>/CURRENT                           atomically-renamed pointer
+
+Commit protocol: write all tables' parquet, write ``manifest-<N>.json``,
+then ``os.replace`` a temp file onto ``CURRENT`` — the pointer flip is the
+single atomic commit point, exactly Iceberg's snapshot-pointer semantics.
+Resume = read ``CURRENT`` → manifest → tables; a crash mid-write leaves
+``CURRENT`` at snapshot N-1 and the job re-runs wave N deterministically
+(the at-least-once redelivery story of the reference queue —
+rust/src/rabbitmq.rs:74-81 — replaced by deterministic recompute +
+atomic commit, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_snapshot(self) -> int | None:
+        try:
+            with open(self._current_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def commit(
+        self,
+        snapshot: int,
+        tables: dict[str, DataFrame],
+        extra: dict | None = None,
+    ) -> dict:
+        """Write all tables for ``snapshot`` and atomically flip CURRENT."""
+        manifest: dict = {"snapshot": snapshot, "tables": {}, "extra": extra or {}}
+        for name, df in tables.items():
+            path = os.path.join(self.root, name, f"snap-{snapshot}")
+            df.write.mode("overwrite").parquet(path)
+            manifest["tables"][name] = {"path": path}
+        manifest_path = os.path.join(self.root, f"manifest-{snapshot}.json")
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+        tmp = self._current_path + f".tmp-{snapshot}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot))
+        os.replace(tmp, self._current_path)  # the atomic commit point
+        return manifest
+
+    def read_manifest(self, snapshot: int | None = None) -> dict | None:
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            return None
+        with open(os.path.join(self.root, f"manifest-{snap}.json")) as f:
+            return json.load(f)
+
+    def read_table(
+        self, spark: SparkSession, name: str, snapshot: int | None = None
+    ) -> DataFrame:
+        manifest = self.read_manifest(snapshot)
+        if manifest is None or name not in manifest["tables"]:
+            raise FileNotFoundError(f"no snapshot table {name!r} in {self.root}")
+        return spark.read.parquet(manifest["tables"][name]["path"])
