@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines: normalization,
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure built-in ``pyspark.sql.functions`` Column expressions (JVM-side,
+whole-stage codegen — no Python in the hot path) with DuckDB-expressible
+semantics so every operator has a SQL oracle. T3 (whitespace
+normalization) reproduces `golang/worker/worker.go:48`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .numeric import round4
+
+# BPE-ish tokenizer: word runs or single non-space punctuation. Same RE2/
+# Java-compatible pattern used in the DuckDB oracles.
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# crude n-gram language markers: language → marker words
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "que", "de"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def norm_text(text: Column | str) -> Column:
+    """T3: collapse whitespace runs to single spaces + trim."""
+    return F.regexp_replace(F.trim(_col(text)), r"\s+", " ")
+
+
+def word_tokens(text: Column | str) -> Column:
+    return F.split(norm_text(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(word_tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Regex (BPE-ish) token count: words + punctuation marks."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = word_tokens(text)
+    stops = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    return round4((stops / F.greatest(F.size(toks), F.lit(1))))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not word chars or whitespace."""
+    t = norm_text(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return round4((punct / F.greatest(F.length(t), F.lit(1))))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = word_tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return round4((total / F.greatest(F.size(toks), F.lit(1))))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    some stopwords (prose-likeness). Deterministic arithmetic only."""
+    n = token_count(text)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 10, F.lit(1.0))
+    return round4(((length_term + punct_term + stop_term) / 3))
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language over the token list."""
+    toks = word_tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def langid_best(text: Column | str) -> Column:
+    """argmax language by marker hits, ties broken alphabetically,
+    'und' (undetermined) when no marker hits."""
+    scores = langid_scores(text)
+    best_score = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(out)
+    return F.when(best_score > 0, out).otherwise(F.lit("und"))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams of the normalized text (shingles)."""
+    toks = word_tokens(text)
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def doc_fingerprint(text: Column | str, n: int = 4) -> Column:
+    """Winnowing-style document fingerprint: min md5 over word n-grams
+    (falls back to md5 of the whole normalized text for short docs)."""
+    grams = word_ngrams(text, n)
+    return F.coalesce(
+        F.array_min(F.transform(grams, lambda g: F.md5(g))),
+        F.md5(norm_text(text)),
+    )

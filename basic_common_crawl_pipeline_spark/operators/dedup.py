@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard (north-rule additions; the
+reference explicitly lacks dedup — /root/reference/Readme.md:24,228).
+
+Design for 10^10-document scale:
+- every stage is shuffle-on-key DataFrame ops (no driver-side state);
+- hash functions are md5-prefix based so each operator has an exact
+  DuckDB SQL oracle (cross-engine determinism beats raw speed of
+  xxhash64 here; swap `_hash64_expr` to ``F.xxhash64`` in production);
+- LSH banding turns the O(n²) pair problem into a per-band equi-join —
+  the shuffle key is (band_id, band_hash), so skew only arises from
+  genuinely repeated content, which is what AQE skew handling is for.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import norm_text, word_ngrams, word_tokens
+
+
+def _hash64_expr(col):
+    """Deterministic cross-engine 60-bit hash: first 15 hex digits of md5.
+    DuckDB equivalent: ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Exact duplicate grouping by md5 of normalized text (optionally only
+    the first ``prefix_tokens`` tokens — prefix dedup). Returns one row
+    per group: (fingerprint, keep_id = min id, dup_count)."""
+    if prefix_tokens is None:
+        key = F.md5(norm_text(text_col))
+    else:
+        key = F.md5(
+            F.array_join(F.slice(word_tokens(text_col), 1, prefix_tokens), " ")
+        )
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word-n-gram table — the input of MinHash and
+    of exact Jaccard."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k salted min-hashes per document. Min over
+    md5 hex strings — string min is deterministic and engine-portable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band columns) and equi-join on
+    (band_id, band_key) → candidate pairs (a < b), distinct."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.explode(band_structs).alias("band")
+    ).select("id", "band.band_id", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs:
+    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    # intersection size via double equi-join on (id, shingle)
+    sh_a = shingles.select(F.col("id").alias("a"), "shingle")
+    sh_b = shingles.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline → (a, b, jaccard ≥ t)."""
+    shingles = shingle_table(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(shingles, bands * rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return jaccard_for_pairs(shingles, cands).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs within a blocking key (e.g.
+    same source) — the brute-force baseline to MinHash's approximation."""
+    ids = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block")
+    )
+    pairs = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
+            on=[
+                F.col("l.block") == F.col("r.block"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    shingles = shingle_table(df, id_col, text_col, shingle_n)
+    return jaccard_for_pairs(shingles, pairs).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash): bitwise-majority SimHash over word-token hashes.
+
+    token hash = md5-prefix 60-bit int; bit j of the simhash is 1 iff
+    Σ_tokens (2·bit_j(hash) − 1) > 0. Pure relational: explode tokens →
+    per-bit signed sums → recombine. One shuffle (groupBy id).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    ).withColumn("h", _hash64_expr(F.col("tok")))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    combined = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return sums.select("id", combined.alias("simhash"))

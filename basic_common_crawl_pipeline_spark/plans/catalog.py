@@ -1,0 +1,925 @@
+"""Driver-contract query catalog: one entry per implemented operator from
+SURVEY.md §2 plus the training-data operators, each as
+``(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) a DuckDB
+oracle producing identical rows — identical column names, identical
+values (floats via the shared round4 formula, functions/numeric.py).
+
+The catalog runs over the driver's read-only testdata tables
+(TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats as ts
+from ..functions.cdx import parse_cdx_lines, parse_cluster_idx
+from ..functions.numeric import round4
+from ..operators import dedup, similarity
+from ..operators.ordering import with_global_seq
+from ..operators.politeness import select_per_host_topk
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side) mirroring functions/textstats.py
+# ---------------------------------------------------------------------------
+
+SQL_NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+SQL_STOPS = "('the','a','of','and','to','in','is')"
+
+
+def _r4(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
+# ===========================================================================
+# A. aggregations / joins / windows / set ops (SURVEY.md §2.6)
+# ===========================================================================
+
+
+@register(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           """ + _r4("sum(l_quantity)") + """ AS sum_qty,
+           """ + _r4("sum(l_extendedprice)") + """ AS sum_price,
+           """ + _r4("sum(l_extendedprice * (1 - l_discount))") + """ AS sum_disc_price,
+           """ + _r4("avg(l_discount)") + """ AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """A1: TPC-H-Q1-style aggregation — partial (map-side) aggregation +
+    one shuffle on the 4-group key; whole-stage codegen throughout."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+        round4(F.sum("l_extendedprice")).alias("sum_price"),
+        round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "sum_disc_price"
+        ),
+        round4(F.avg("l_discount")).alias("avg_disc"),
+    )
+
+
+@register(
+    "j3_star_join",
+    """
+    SELECT r_name, n_name, count(*) AS n_orders,
+           """ + _r4("sum(o_totalprice)") + """ AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j3_star_join(spark, sf_dir):
+    """J3: star join with broadcast dims (robots/host-policy analog)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j1_fetch_join",
+    """
+    SELECT o_orderkey, o_orderstatus, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    """,
+)
+def j1_fetch_join(spark, sf_dir):
+    """J1: the fetch join — frontier×archive as left equi-join."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "o_orderstatus", "c_name", "c_mktsegment")
+
+
+@register(
+    "j2_seen_antijoin",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+    """,
+)
+def j2_seen_antijoin(spark, sf_dir):
+    """J2: URL-seen dedup as left_anti join (customers with no big order —
+    the 'not yet crawled' set)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "w1_latest_event",
+    """
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest_event(spark, sf_dir):
+    """W1: per-key latest-version pick via ranking window."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "u1_set_ops",
+    """
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    EXCEPT
+    SELECT doc_id FROM documents WHERE source = 'src0'
+    """,
+)
+def u1_set_ops(spark, sf_dir):
+    """U1: frontier-update set algebra (union/subtract by anti-join)."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    src0 = docs.filter(F.col("source") == "src0").select("doc_id")
+    return en.subtract(src0)
+
+
+# ===========================================================================
+# B. batching / ordering / top-k (SURVEY.md §2.5)
+# ===========================================================================
+
+
+@register(
+    "b1_batching",
+    """
+    SELECT doc_id,
+           CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 50) AS BIGINT)
+             AS batch_id
+    FROM documents
+    """,
+)
+def b1_batching(spark, sf_dir):
+    """B1: fixed-size batch assignment over a deterministic total order
+    (queue-batch analog, rust/src/rabbitmq.rs:13)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    seq = with_global_seq(docs, ["doc_id"], seq_col="seq")
+    return seq.select(
+        "doc_id", F.floor((F.col("seq") - 1) / 50).cast("long").alias("batch_id")
+    )
+
+
+@register(
+    "b2_limit",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 100
+    """,
+)
+def b2_limit(spark, sf_dir):
+    """B2: deterministic limit (--num-chunks analog) — TakeOrderedAndProject."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "b3_global_order",
+    """
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY lang, doc_id) AS seq
+    FROM documents
+    """,
+)
+def b3_global_order(spark, sf_dir):
+    """B3: deterministic global crawl-order sequencing — validates the
+    scale-safe two-phase sequencer against the SQL window oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return with_global_seq(docs, ["lang", "doc_id"], seq_col="seq")
+
+
+@register(
+    "b4_topk_per_key",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def b4_topk_per_key(spark, sf_dir):
+    """B4: per-host politeness budget as salted two-phase top-k —
+    validates operators/politeness.py against the window oracle."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("canon_url"),  # operator key naming
+            F.col("source").alias("host"),
+            "n_chars",
+        )
+        .withColumn("neg_chars", -F.col("n_chars"))
+        .withColumn("budget", F.lit(5))
+    )
+    picked = select_per_host_topk(
+        docs, order_cols=("neg_chars", "canon_url"), salt_partitions=4
+    )
+    return picked.select(
+        F.col("canon_url").alias("doc_id"),
+        F.col("host").alias("source"),
+        "n_chars",
+    )
+
+
+# ===========================================================================
+# C. parsers / filters / scalar transforms (SURVEY.md §2.2-2.4)
+# ===========================================================================
+
+
+@register(
+    "p1_parse_cluster_idx",
+    """
+    WITH lines AS (
+      SELECT printf('com,host%d)/item/%d %s\tcdx-%05d.gz\t%d\t%d\t%d',
+                    l_orderkey % 50, l_linenumber,
+                    strftime(l_shipdate, '%Y%m%d%H%M%S'),
+                    l_partkey % 100, l_orderkey * 1000,
+                    180000 + l_suppkey,
+                    l_orderkey * 10 + l_linenumber) AS line
+      FROM lineitem
+    )
+    SELECT string_split_regex(line, '\\s+')[1] AS surt_url,
+           string_split_regex(line, '\\s+')[2] AS timestamp,
+           string_split_regex(line, '\\s+')[3] AS cdx_filename,
+           CAST(string_split_regex(line, '\\s+')[4] AS BIGINT) AS cdx_offset,
+           CAST(string_split_regex(line, '\\s+')[5] AS BIGINT) AS cdx_length,
+           CAST(string_split_regex(line, '\\s+')[6] AS BIGINT) AS cluster_id
+    FROM lines
+    """,
+)
+def p1_parse_cluster_idx(spark, sf_dir):
+    """P1: cluster.idx line parse (rust/src/commoncrawl.rs:102-112) —
+    lines synthesized deterministically from lineitem, then parsed with
+    the production transform."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.format_string(
+            "com,host%d)/item/%d %s\tcdx-%05d.gz\t%d\t%d\t%d",
+            F.col("l_orderkey") % 50,
+            F.col("l_linenumber"),
+            F.date_format("l_shipdate", "yyyyMMddHHmmss"),
+            F.col("l_partkey") % 100,
+            F.col("l_orderkey") * 1000,
+            F.col("l_suppkey") + 180000,
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ).alias("line")
+    )
+    return parse_cluster_idx(lines)
+
+
+@register(
+    "p2_parse_cdx_eligible",
+    """
+    WITH lines AS (
+      SELECT printf('com,shop%d)/order %s ',
+                    o_custkey % 100, strftime(o_orderdate, '%Y%m%d%H%M%S'))
+             || to_json(struct_pack(
+                  url := printf('https://shop%d.example/order/%d',
+                                o_custkey % 100, o_orderkey),
+                  status := CASE WHEN o_orderstatus = 'O' THEN '200' ELSE '301' END,
+                  length := CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  "offset" := CAST(o_orderkey * 100 AS VARCHAR),
+                  filename := 'crawl/segment/warc.gz',
+                  languages := CASE WHEN o_orderpriority < '3' THEN 'eng'
+                                    WHEN o_orderpriority < '4' THEN 'ind,eng'
+                                    ELSE 'deu' END)) AS line
+      FROM orders
+    ),
+    parsed AS (
+      SELECT string_split(line, ' ')[1] AS surt_url,
+             string_split(line, ' ')[2] AS timestamp,
+             json_extract_string(line[position('{' in line):], '$.url') AS url,
+             CAST(json_extract_string(line[position('{' in line):], '$.status') AS INTEGER) AS status,
+             CAST(json_extract_string(line[position('{' in line):], '$.length') AS BIGINT) AS length,
+             json_extract_string(line[position('{' in line):], '$.languages') AS languages
+      FROM lines
+    )
+    SELECT surt_url, timestamp, url, status, length, languages
+    FROM parsed
+    WHERE status = 200
+      AND list_contains(list_transform(string_split(languages, ','), t -> trim(t)), 'eng')
+    """,
+)
+def p2_parse_cdx_eligible(spark, sf_dir):
+    """P2+P3+F1+F2: CDX line parse (Rust splitn-3 semantics,
+    rust/src/commoncrawl.rs:79-86) + numeric coercion + eligibility filter,
+    over lines synthesized from orders."""
+    from ..functions.cdx import eligible_filter
+
+    orders = load(spark, sf_dir, "orders")
+    meta_json = F.to_json(
+        F.struct(
+            F.format_string(
+                "https://shop%d.example/order/%d",
+                F.col("o_custkey") % 100,
+                F.col("o_orderkey"),
+            ).alias("url"),
+            F.when(F.col("o_orderstatus") == "O", "200").otherwise("301").alias("status"),
+            F.floor("o_totalprice").cast("long").cast("string").alias("length"),
+            (F.col("o_orderkey") * 100).cast("string").alias("offset"),
+            F.lit("crawl/segment/warc.gz").alias("filename"),
+            F.when(F.col("o_orderpriority") < "3", "eng")
+            .when(F.col("o_orderpriority") < "4", "ind,eng")
+            .otherwise("deu")
+            .alias("languages"),
+        )
+    )
+    lines = orders.select(
+        F.concat(
+            F.format_string(
+                "com,shop%d)/order %s ",
+                F.col("o_custkey") % 100,
+                F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+            ),
+            meta_json,
+        ).alias("line")
+    )
+    parsed = parse_cdx_lines(lines)
+    return eligible_filter(parsed).select(
+        "surt_url",
+        "timestamp",
+        F.col("metadata.url").alias("url"),
+        F.col("metadata.status").cast("int").alias("status"),
+        F.col("metadata.length").cast("long").alias("length"),
+        F.col("metadata.languages").alias("languages"),
+    )
+
+
+@register(
+    "f1_language_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE lang IS NOT NULL
+      AND list_contains(list_transform(string_split(lang, ','), t -> trim(t)), 'en')
+    """,
+)
+def f1_language_filter(spark, sf_dir):
+    """F1+F3: language token filter, Go-canonical semantics
+    (golang/batcher/batcher.go:110-126)."""
+    docs = load(spark, sf_dir, "documents")
+    langs = F.transform(F.split("lang", ","), lambda t: F.trim(t))
+    return docs.filter(
+        F.col("lang").isNotNull() & F.array_contains(langs, "en")
+    ).select("doc_id", "lang")
+
+
+@register(
+    "t3_whitespace_norm",
+    f"SELECT doc_id, {SQL_NORM} AS norm_text FROM documents",
+)
+def t3_whitespace_norm(spark, sf_dir):
+    """T3: whitespace normalization (golang/worker/worker.go:48)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.norm_text("text").alias("norm_text"))
+
+
+@register(
+    "t5_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def t5_json_extract(spark, sf_dir):
+    """T5: JSON deserialize (rust/src/bin/worker.rs:35 analog)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ===========================================================================
+# D. text analysis (training-data ops)
+# ===========================================================================
+
+
+_STOP_RATIO = _r4(
+    f"len(list_filter(toks, t -> lower(t) IN {SQL_STOPS})) / greatest(len(toks), 1)"
+)
+_PUNCT_RATIO = _r4(
+    "(length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))"
+    " / greatest(length(norm), 1)"
+)
+_AVG_TOK_LEN = _r4(
+    "list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1)"
+)
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NORM} AS norm, {SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(norm, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+           {_STOP_RATIO} AS stop_ratio,
+           {_PUNCT_RATIO} AS punct_ratio,
+           {_AVG_TOK_LEN} AS avg_tok_len
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token counts + punctuation/stopword ratios."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.bpe_token_count("text").alias("n_bpe_tokens"),
+        ts.stopword_ratio("text").alias("stop_ratio"),
+        ts.punct_ratio("text").alias("punct_ratio"),
+        ts.avg_token_len("text").alias("avg_tok_len"),
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> lower(t) IN ('the','and','of'))) AS c_en,
+             len(list_filter(toks, t -> lower(t) IN ('der','und','das'))) AS c_de,
+             len(list_filter(toks, t -> lower(t) IN ('le','et','les'))) AS c_fr,
+             len(list_filter(toks, t -> lower(t) IN ('el','que','de'))) AS c_es
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM c
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language-ID n-gram (marker-word) heuristic."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", ts.langid_best("text").alias("pred_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NORM} AS norm, {SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           coalesce(
+             list_aggregate(
+               list_transform(
+                 range(1, greatest(len(toks) - 3, 0) + 1),
+                 i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))),
+               'min'),
+             md5(norm)) AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-md5 over word 4-grams."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts.doc_fingerprint("text", n=4).alias("fingerprint")
+    )
+
+
+# ===========================================================================
+# E. deduplication (training-data ops)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH k AS (
+      SELECT doc_id AS id,
+             md5(array_to_string(list_slice({SQL_TOKS}, 1, 5), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(id) AS keep_id, count(*) AS dup_count
+    FROM k GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact (prefix-key) dedup: hash-groupBy, one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text", prefix_tokens=5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, s.shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len({SQL_TOKS}) - 2, 0) + 1),
+                 i -> array_to_string(list_slice({SQL_TOKS}, i, i + 2), ' ')))
+               AS shingle
+        FROM documents
+      ) s(doc_id, shingle)
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+             min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+      FROM sh GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig
+      UNION ALL SELECT id, 1, mh_2 || '|' || mh_3 FROM sig
+      UNION ALL SELECT id, 2, mh_4 || '|' || mh_5 FROM sig
+      UNION ALL SELECT id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.id < r.id
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.id = c.a
+      JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.id = i.a
+    JOIN sizes zb ON zb.id = i.b
+    WHERE {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} >= 0.2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash → LSH banding → exact-Jaccard verify (shingle n=3,
+    8 hashes, 4 bands × 2 rows, t=0.2)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
+        threshold=0.2,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, s.shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len({SQL_TOKS}) - 2, 0) + 1),
+                 i -> array_to_string(list_slice({SQL_TOKS}, i, i + 2), ' ')))
+               AS shingle
+        FROM documents
+      ) s(doc_id, shingle)
+    ),
+    ids AS (SELECT doc_id AS id, source FROM documents),
+    pairs AS (
+      SELECT l.id AS a, r.id AS b
+      FROM ids l JOIN ids r ON l.source = r.source AND l.id < r.id
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.id = p.a
+      JOIN sh sb ON sb.id = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    )
+    SELECT i.a, i.b,
+           {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.id = i.a
+    JOIN sizes zb ON zb.id = i.b
+    WHERE {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Brute-force n-gram Jaccard within a blocking key (source)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, block_col="source", id_col="doc_id", text_col="text",
+        shingle_n=3, threshold=0.05,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, t.tok,
+             ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents) t(doc_id, tok)
+    ),
+    sums AS (
+      SELECT id, {sums}
+      FROM toks GROUP BY id
+    )
+    SELECT id, {combine} AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(16))
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit, bitwise token-hash majority) per document."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+# ===========================================================================
+# F. similarity search (embeddings)
+# ===========================================================================
+
+_SQL_DOT = """
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(q.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH d AS ({_SQL_DOT.format(qid=0)})
+    SELECT vec_id, {_r4("dot / (ne * nq)")} AS cos
+    FROM d ORDER BY cos DESC, vec_id LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs vec_id 0 (JVM-side fold, no UDF)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, list(qvec), k=20)
+
+
+@register(
+    "ann_cosine_topk_bucketed",
+    f"""
+    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 1),
+    d AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(q.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      CROSS JOIN q
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      WHERE e.label = q.label
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, {_r4("dot / (ne * nq)")} AS cos
+    FROM d ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk_bucketed(spark, sf_dir):
+    """IVF-style bucketed top-10: scan only the query's coarse cell."""
+    emb = load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 1).select("embedding", "label").collect()[0]
+    return similarity.cosine_topk_bucketed(
+        emb, list(row[0]), row[1], k=10
+    )
+
+
+@register(
+    "emb_neardup_pairs",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE))) AS na,
+             sqrt(sum(CAST(b.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE))) AS nb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT a, b, {_r4("dot / (na * nb)")} AS cos
+    FROM p WHERE {_r4("dot / (na * nb)")} >= 0.35
+    """,
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding near-dup: same-bucket (label) pairs with cosine ≥ 0.35."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.35)
+
+
+# ===========================================================================
+# G. streaming (rows-also-SQL-checkable windowed aggregation)
+# ===========================================================================
+
+
+@register(
+    "stream_windowed_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           """ + _r4("sum(value)") + """ AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_events(spark, sf_dir):
+    """S5/G1: Structured-Streaming windowed aggregation with watermark,
+    drained with trigger=availableNow — equals the batch GROUP BY."""
+    import tempfile
+    import uuid
+
+    from ..streaming.queue_stream import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    static = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        # file-stream source needs a directory: glob down to the one file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+        # TZ is pinned to UTC so the wall-clock value is unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream)
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    return run_stream_to_memory(
+        spark, agg, name, ckpt, output_mode="complete"
+    )
+
+
+# ===========================================================================
+# H. the crawl engine flagship (no SQL oracle — verified against the
+#    single-node oracle in tests/test_crawl_e2e.py instead)
+# ===========================================================================
+
+
+def pages_from_documents(spark, sf_dir):
+    """Deterministically derive a Common-Crawl-style pages table from the
+    driver's documents table: url/host from (source, doc_id), html wraps
+    the text with a link graph over neighboring doc_ids."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    url = F.format_string("http://%s.test/doc/%d", F.col("source"), F.col("doc_id"))
+    link1 = F.format_string(
+        "http://%s.test/doc/%d", F.col("source"), (F.col("doc_id") + 1) % n
+    )
+    link2 = F.format_string(
+        "http://src%d.test/doc/%d",
+        (F.col("doc_id") * 7) % 20,
+        (F.col("doc_id") * 13) % n,
+    )
+    link3 = F.format_string(
+        "http://src%d.test/doc/%d",
+        (F.col("doc_id") * 3) % 20,
+        (F.col("doc_id") * 31) % n,
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><p><a href="'), link1, F.lit('">n1</a> <a href="'),
+        link2, F.lit('">n2</a> <a href="'), link3, F.lit('">n3</a></p>'),
+        F.lit("<script>var x=1;</script></body></html>"),
+    ).cast("binary")
+    pages = docs.select(
+        url.alias("url"),
+        F.lit("2024-07-22 12:00:00").cast("timestamp").alias("warc_ts"),
+        html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.when(F.col("lang") == "en", "eng").otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 10 < 8, 200).otherwise(404).alias("status"),
+        F.lit("text/html").alias("mime"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    seeds = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.format_string(
+            "http://%s.test/doc/%d", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+    )
+    robots = (
+        docs.select(F.concat(F.col("source"), F.lit(".test")).alias("host"))
+        .distinct()
+        .withColumn(
+            "crawl_delay",
+            F.when(F.col("host") == "src0.test", 2.0).otherwise(1.0),
+        )
+        .withColumn("disallow", F.array(F.lit("/private/")))
+    )
+    return pages, seeds, robots
+
+
+@register("crawl_wave_flagship")  # no SQL oracle: UDF extraction inside
+def crawl_wave_flagship(spark, sf_dir):
+    """The flagship: one frontier-expansion wave over pages derived from
+    the documents table. Full semantics verified against the single-node
+    oracle in tests/test_crawl_e2e.py (crawl order, seen set,
+    byte-identical text)."""
+    from .config import CrawlConfig
+    from .wave import empty_seen, frontier_from_seeds, run_wave
+
+    pages, seeds, robots = pages_from_documents(spark, sf_dir)
+    frontier = frontier_from_seeds(seeds)
+    out = run_wave(
+        spark, frontier, empty_seen(spark), pages, robots,
+        wave=0, config=CrawlConfig(wave_seconds=16.0),
+    )
+    return out.results.select(
+        "wave", "canon_url", "host", "priority",
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

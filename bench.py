@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "throughput": {"frontier_urls_per_sec": ..., ...}}
+
+The headline metric (BASELINE.json) is frontier-expansion throughput:
+URLs fetched+extracted per second by the crawl wave job. Scaling evidence
+(local[8] vs local[32]) is produced by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from basic_common_crawl_pipeline_spark.plans import catalog
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.crawl import run_crawl
+    from basic_common_crawl_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # -- flagship: multi-wave frontier expansion over derived pages -------
+    pages, seeds, robots = catalog.pages_from_documents(spark, sf_dir)
+    pages = pages.persist()
+    pages.count()  # corpus materialized before the clock starts
+
+    t0 = time.time()
+    state = run_crawl(
+        spark, pages, seeds, robots,
+        CrawlConfig(wave_seconds=64.0, max_waves=3, salt_partitions=8),
+    )
+    crawl_sec = time.time() - t0
+    urls = sum(m["selected"] for m in state.metrics)
+    extracted = sum(m["extracted"] for m in state.metrics)
+    timings["crawl_3waves"] = round(crawl_sec, 3)
+    throughput["frontier_urls_per_sec"] = round(urls / crawl_sec, 2)
+    throughput["crawl_urls"] = urls
+    throughput["crawl_extracted"] = extracted
+
+    # -- relational / dedup / similarity / streaming headliners -----------
+    q = catalog.queries()
+    for name in (
+        "a1_pricing_summary",
+        "j3_star_join",
+        "b4_topk_per_key",
+        "b3_global_order",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "emb_neardup_pairs",
+        "text_quality",
+        "stream_windowed_events",
+    ):
+        timed(name, lambda n=name: q[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier-expansion throughput + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(cpus),
+                "throughput": throughput,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry and compare against its ``oracle_sql()`` in DuckDB —
+row count, sorted column names, and an order-insensitive value hash.
+
+Usage: python3 scripts/check_correctness.py [sf_dir] [name ...]
+Exit 0 iff all queries with oracles match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(value):
+    if isinstance(value, float):
+        # canonical float repr: kill -0.0 and float32 artifacts
+        if value == 0:
+            return "0.0"
+        return repr(round(value, 9))
+    if value is None:
+        return ""
+    return str(value)
+
+
+def value_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x01".join(normalize(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.sha256()
+    for line in lines:
+        digest.update(line.encode())
+        digest.update(b"\x02")
+    return digest.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from basic_common_crawl_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems and value_hash(s_rows, s_cols) != value_hash(d_rows, d_cols):
+            problems.append("value hash mismatch")
+            # print first differing rows for debugging
+            s_set = {
+                tuple(normalize(v) for v in row) for row in
+                [[r[s_cols.index(c)] for c in sorted(s_cols)] for r in s_rows]
+            }
+            d_set = {
+                tuple(normalize(v) for v in row) for row in
+                [[r[d_cols.index(c)] for c in sorted(d_cols)] for r in d_rows]
+            }
+            only_s = list(s_set - d_set)[:3]
+            only_d = list(d_set - s_set)[:3]
+            if only_s:
+                print(f"        spark-only: {only_s}")
+            if only_d:
+                print(f"        duckdb-only: {only_d}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
