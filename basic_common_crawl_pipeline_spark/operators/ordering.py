@@ -31,9 +31,12 @@ def with_global_seq(
     order_cols: list[str],
     seq_col: str = "seq",
     start: int = 1,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Add ``seq_col`` = global rank (start, start+1, …) in the total order
-    of ``order_cols``. The key must be total (no ties) for determinism."""
+    of ``order_cols``. The key must be total (no ties) for determinism.
+    ``return_total=True`` → (df, row_count): the count is a free byproduct
+    of the offsets pass, saving callers a separate count() job."""
     names = [f.name for f in df.schema.fields]
     # StructType.add mutates in place — build a fresh copy for the output.
     schema = StructType(list(df.schema.fields) + [StructField(seq_col, LongType())])
@@ -64,4 +67,7 @@ def with_global_seq(
 
     # NB: mapInPandas preserves the per-partition sort because it is a
     # narrow (partition-local) transformation.
-    return sorted_df.mapInPandas(assign, schema=schema)
+    out = sorted_df.mapInPandas(assign, schema=schema)
+    if return_total:
+        return out, acc - start
+    return out

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -833,38 +834,135 @@ def stream_windowed_events(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           """ + _r4("sum(value)") + """ AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    """G1: custom stateful operator (applyInPandasWithState) — running
+    per-user totals carried across multiple real micro-batches (events
+    republished as 8 files, consumed 2 per trigger → 4 batches). The
+    final (highest-count) row per user equals the batch GROUP BY."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.queue_stream import publish_batches, run_stream_to_memory
+    from ..streaming.stateful import stateful_user_totals
+
+    events = load(spark, sf_dir, "events")
+    qdir = tempfile.mkdtemp(prefix="queue_events_")
+    publish_batches(events, qdir, batch_size=max(events.count() // 8, 1))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(qdir)
+    )
+    totals = stateful_user_totals(stream)
+    import uuid
+
+    out = run_stream_to_memory(
+        spark, totals, f"stateful_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ckpt_"), output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", round4(F.col("sum_value")).alias("sum_value"))
+    )
+
+
+@register(
+    "t1_gzip_roundtrip",
+    "SELECT doc_id, true AS roundtrip_ok FROM documents",
+)
+def t1_gzip_roundtrip(spark, sf_dir):
+    """T1: gzip decompress as a pandas UDF (rust/src/commoncrawl.rs:56-58).
+    Spark actually compresses + decompresses every document and checks
+    byte equality; the oracle states the invariant."""
+    import gzip
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def roundtrip(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            blob = gzip.compress(t.encode("utf-8"), mtime=0)
+            out.append(gzip.decompress(blob).decode("utf-8") == t)
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", roundtrip(F.col("text")).alias("roundtrip_ok"))
+
+
+@register(
+    "p6_utf8_decode",
+    "SELECT doc_id, text AS decoded, length(text) AS n_chars_decoded FROM documents",
+)
+def p6_utf8_decode(spark, sf_dir):
+    """P6: UTF-8 encode/decode round-trip with JVM-side encode/decode
+    (python/batcher.py:54 strict decode analog)."""
+    docs = load(spark, sf_dir, "documents")
+    decoded = F.decode(F.encode(F.col("text"), "utf-8"), "utf-8")
+    return docs.select(
+        "doc_id",
+        decoded.alias("decoded"),
+        F.length(decoded).alias("n_chars_decoded"),
+    )
+
+
 # ===========================================================================
 # H. the crawl engine flagship (no SQL oracle — verified against the
 #    single-node oracle in tests/test_crawl_e2e.py instead)
 # ===========================================================================
 
 
-def pages_from_documents(spark, sf_dir):
+def pages_from_documents(spark, sf_dir, replicate: int = 1, seeds_mod: int = 29):
     """Deterministically derive a Common-Crawl-style pages table from the
     driver's documents table: url/host from (source, doc_id), html wraps
-    the text with a link graph over neighboring doc_ids."""
+    the text with a link graph over neighboring doc_ids.
+
+    ``replicate`` > 1 fans each document out into K variants (distinct
+    urls, shared host/link structure) — the bench uses this to build a
+    corpus big enough that extraction, not fixed overhead, dominates."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
-    url = F.format_string("http://%s.test/doc/%d", F.col("source"), F.col("doc_id"))
-    link1 = F.format_string(
-        "http://%s.test/doc/%d", F.col("source"), (F.col("doc_id") + 1) % n
-    )
-    link2 = F.format_string(
-        "http://src%d.test/doc/%d",
-        (F.col("doc_id") * 7) % 20,
-        (F.col("doc_id") * 13) % n,
-    )
-    link3 = F.format_string(
-        "http://src%d.test/doc/%d",
-        (F.col("doc_id") * 3) % 20,
-        (F.col("doc_id") * 31) % n,
-    )
+    if replicate > 1:
+        variants = spark.range(replicate).select(F.col("id").alias("variant"))
+        docs = docs.crossJoin(variants).withColumn(
+            "doc_id", F.col("doc_id") + F.col("variant") * n
+        ).drop("variant")
+        n = n * replicate
+    # testdata invariant (verified at every sf): source == 'src'||(doc_id%20),
+    # so a link to doc T lives on host src{T%20}.test — links must use the
+    # TARGET's host or they'd all be index misses
+    def _doc_url(target):
+        return F.format_string(
+            "http://src%d.test/doc/%d", target % 20, target
+        )
+
+    url = _doc_url(F.col("doc_id"))
+    link1 = _doc_url((F.col("doc_id") + 1) % n)
+    link2 = _doc_url((F.col("doc_id") * 13 + 7) % n)
+    link3 = _doc_url((F.col("doc_id") * 31 + 3) % n)
+    # body: 8 distinct sections (distinct so the extractor's block-dedup
+    # keeps them) → ~2-4 KB pages, web-realistic extraction cost
+    body_parts = []
+    for j in range(8):
+        body_parts += [F.lit(f'<p>section {j} '), F.col("text"), F.lit("</p>")]
     html = F.concat(
         F.lit("<html><head><title>doc</title></head><body><h1>Doc "),
         F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit('</p><p><a href="'), link1, F.lit('">n1</a> <a href="'),
+        F.lit("</h1>"),
+        *body_parts,
+        F.lit('<p><a href="'), link1, F.lit('">n1</a> <a href="'),
         link2, F.lit('">n2</a> <a href="'), link3, F.lit('">n3</a></p>'),
         F.lit("<script>var x=1;</script></body></html>"),
     ).cast("binary")
@@ -877,8 +975,12 @@ def pages_from_documents(spark, sf_dir):
         F.when(F.col("doc_id") % 10 < 8, 200).otherwise(404).alias("status"),
         F.lit("text/html").alias("mime"),
         F.md5(F.col("text")).alias("digest"),
-    )
-    seeds = docs.filter(F.col("doc_id") % 29 == 0).select(
+    ).repartition(F.col("url"))
+    # ^ hash-distribute by url: the single-file parquet × crossJoin lineage
+    # otherwise yields 1-2 partitions and every downstream stage (extract,
+    # fetch join) runs near-serial no matter how many cores exist — the
+    # local analog of bucketing the pages table by url at cluster scale
+    seeds = docs.filter(F.col("doc_id") % seeds_mod == 0).select(
         F.format_string(
             "http://%s.test/doc/%d", F.col("source"), F.col("doc_id")
         ).alias("url"),

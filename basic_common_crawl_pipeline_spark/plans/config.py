@@ -52,6 +52,22 @@ class CrawlConfig:
     language: str = LANGUAGE
     max_waves: int = 8
     salt_partitions: int = 8  # politeness top-k salting fan-out (Spark only)
+    # partitioned-Bloom seen-set prefilter (operators/seen.py). The bloom
+    # accelerates the exact anti-join (its probe side shrinks to
+    # bloom-positive candidates); semantics stay byte-exact.
+    use_bloom: bool = False
+    bloom_partitions: int = 16
+    bloom_bits: int = 1 << 20
+    bloom_k: int = 7
+    # True (default): broadcast the wave's candidate/selected sets into the
+    # joins against pages so the fat table streams from its cache/bucket
+    # layout and never shuffles. At 10^9+ frontier scale set False: pages
+    # is bucketed by url, so sort-merge shuffles only the frontier side.
+    broadcast_frontier: bool = True
+    # False → skip the metrics-only count jobs per wave (class breakdown,
+    # discovered/extracted counts); selected-count still flows from the
+    # sequencer's offsets pass. Production telemetry on; benchmarks off.
+    collect_metrics: bool = True
 
 
 def host_budget(wave_seconds: float, crawl_delay: float) -> int:

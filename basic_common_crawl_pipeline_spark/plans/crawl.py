@@ -27,6 +27,7 @@ class CrawlState:
     next_seq: int
     frontier: DataFrame
     seen: DataFrame
+    seen_bloom: DataFrame | None = None
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -46,6 +47,16 @@ def run_crawl(
     lineage by reloading state from the committed parquet (essential: an
     unbounded union-chain of `seen` otherwise grows the plan every wave).
     """
+    bloom = None
+    if config.use_bloom:
+        from ..operators.seen import BloomSeen
+
+        bloom = BloomSeen(
+            partitions=config.bloom_partitions,
+            m_bits=config.bloom_bits,
+            k=config.bloom_k,
+        )
+
     if resume and store is not None and store.current_snapshot() is not None:
         manifest = store.read_manifest()
         state = CrawlState(
@@ -53,6 +64,9 @@ def run_crawl(
             next_seq=manifest["extra"]["next_seq"],
             frontier=store.read_table(spark, "frontier"),
             seen=store.read_table(spark, "seen"),
+            seen_bloom=(
+                store.read_table(spark, "seen_bloom") if bloom is not None else None
+            ),
             metrics=manifest["extra"]["metrics"],
         )
     else:
@@ -61,6 +75,7 @@ def run_crawl(
             next_seq=1,
             frontier=frontier_from_seeds(seeds),
             seen=empty_seen(spark),
+            seen_bloom=bloom.empty(spark) if bloom is not None else None,
         )
 
     while state.wave < config.max_waves:
@@ -75,9 +90,16 @@ def run_crawl(
             wave=state.wave,
             config=config,
             next_seq=state.next_seq,
+            seen_bloom=state.seen_bloom,
+            bloom=bloom,
         )
         state.metrics.append(out.metrics)
         next_seq = state.next_seq + out.metrics["selected"]
+        new_bloom = (
+            bloom.add(state.seen_bloom, out.processed)
+            if bloom is not None
+            else None
+        )
 
         if store is not None:
             prev_order = (
@@ -100,14 +122,17 @@ def run_crawl(
                 if prev_results is not None
                 else out.results
             )
+            tables = {
+                "frontier": out.new_frontier,
+                "seen": out.new_seen,
+                "crawl_order": order_all,
+                "results": results_all,
+            }
+            if new_bloom is not None:
+                tables["seen_bloom"] = new_bloom
             store.commit(
                 snapshot=state.wave + 1,
-                tables={
-                    "frontier": out.new_frontier,
-                    "seen": out.new_seen,
-                    "crawl_order": order_all,
-                    "results": results_all,
-                },
+                tables=tables,
                 extra={
                     "next_wave": state.wave + 1,
                     "next_seq": next_seq,
@@ -117,11 +142,16 @@ def run_crawl(
             # lineage truncation: reload committed state
             state.frontier = store.read_table(spark, "frontier")
             state.seen = store.read_table(spark, "seen")
+            if new_bloom is not None:
+                state.seen_bloom = store.read_table(spark, "seen_bloom")
         else:
-            out.new_frontier.persist().count()
-            out.new_seen.persist().count()
-            state.frontier = out.new_frontier
-            state.seen = out.new_seen
+            # no store → truncate lineage in memory: without this the plan
+            # tree compounds every wave and the driver dies generating
+            # explain strings long before the data is big
+            state.frontier = out.new_frontier.localCheckpoint(eager=True)
+            state.seen = out.new_seen.localCheckpoint(eager=True)
+            if new_bloom is not None:
+                state.seen_bloom = new_bloom.localCheckpoint(eager=True)
         state.wave += 1
         state.next_seq = next_seq
     return state

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -84,16 +85,44 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_FRONTIER_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("surt", StringType()),
+        StructField("priority", IntegerType()),
+    ]
+)
+
+
+def _canonize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # one Arrow crossing for canon+host+surt (three separate pandas stages
+    # would each pay runner startup — measurable at wave granularity)
+    for batch in batches:
+        canon = batch["url"].map(canonicalize_url)
+        keep = canon.notna()
+        yield pd.DataFrame(
+            {
+                "canon_url": canon[keep],
+                "host": canon[keep].map(host_of),
+                "surt": canon[keep].map(surt),
+                "priority": batch["priority"][keep].astype("int32"),
+            }
+        )
+
+
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
     """Seed URLs → canonical frontier rows (canon_url, host, surt, priority)."""
     return (
-        seeds.withColumn("canon_url", canon_udf(F.col("url")))
-        .filter(F.col("canon_url").isNotNull())
+        seeds.select("url", F.col("priority").cast("int").alias("priority"))
+        .mapInPandas(_canonize_batches, schema=_FRONTIER_SCHEMA)
         .groupBy("canon_url")
-        .agg(F.min("priority").cast("int").alias("priority"))
-        .withColumn("hs", host_surt_udf(F.col("canon_url")))
-        .select("canon_url", F.col("hs.host").alias("host"),
-                F.col("hs.surt").alias("surt"), "priority")
+        .agg(
+            F.min("host").alias("host"),
+            F.min("surt").alias("surt"),
+            F.min("priority").cast("int").alias("priority"),
+        )
+        .select("canon_url", "host", "surt", "priority")
     )
 
 
@@ -107,6 +136,7 @@ class WaveOutput:
     results: DataFrame       # wave, canon_url, host, priority, text
     new_frontier: DataFrame  # canon_url, host, surt, priority
     new_seen: DataFrame      # canon_url
+    processed: DataFrame     # canon_url — urls newly marked seen this wave
     metrics: dict
 
 
@@ -119,10 +149,24 @@ def run_wave(
     wave: int,
     config: CrawlConfig = CrawlConfig(),
     next_seq: int = 1,
+    seen_bloom: DataFrame | None = None,
+    bloom=None,
 ) -> WaveOutput:
-    # 1. candidates = frontier ∖ seen (frontier discipline keeps them
-    #    disjoint already; the anti-join also covers resumed state)
-    cand = frontier.join(seen, "canon_url", "left_anti")
+    # 1. candidates = frontier ∖ seen. With the partitioned bloom
+    #    (operators/seen.py): bloom-negative rows are *definitely* unseen
+    #    and skip the exact anti-join entirely; only bloom-positive rows
+    #    probe the (large) seen table — at 10^10 urls this shrinks the
+    #    anti-join's probe side to ~|actually-seen| + ε false positives
+    #    while keeping byte-exact semantics.
+    if seen_bloom is not None and bloom is not None:
+        probed = bloom.contains(seen_bloom, frontier, "canon_url")
+        definitely_new = probed.filter(~F.col("bloom_hit")).drop("bloom_hit")
+        maybe_seen = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
+        cand = definitely_new.unionByName(
+            maybe_seen.join(seen, "canon_url", "left_anti")
+        )
+    else:
+        cand = frontier.join(seen, "canon_url", "left_anti")
 
     # 2. robots gate — broadcast join on host (J3)
     policy = F.broadcast(
@@ -145,13 +189,28 @@ def run_wave(
         )
     )
 
-    # 3. index lookup (J1 metadata side): scan reads ONLY url/status/lang
+    # 3. index lookup (J1 metadata side): scan reads ONLY url/status/lang.
+    #    With broadcast_frontier (default): broadcast the wave's candidate
+    #    set and STREAM the pages table — pages bytes never shuffle. A
+    #    left join can't build its small left side, so it decomposes into
+    #    inner-hit + anti-miss (both build the small side). At 10^9+
+    #    frontier scale flip the flag: pages is bucketed by url, so a
+    #    sort-merge join shuffles only the frontier side.
     index = pages.select(
         F.col("url").alias("canon_url"),
         F.col("status").alias("__status"),
         F.col("lang").alias("__lang"),
     )
-    cand = cand.join(index, "canon_url", "left")
+    if config.broadcast_frontier:
+        hits = index.join(F.broadcast(cand), "canon_url")
+        missed = cand.join(
+            F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
+        ).withColumn("__status", F.lit(None).cast("int")).withColumn(
+            "__lang", F.lit(None).cast("string")
+        )
+        cand = hits.unionByName(missed)
+    else:
+        cand = cand.join(index, "canon_url", "left")
 
     # 4. classify: disallowed / miss / ineligible / eligible (F1-F3)
     lang_ok = F.array_contains(
@@ -167,10 +226,14 @@ def run_wave(
         .otherwise(F.lit("ineligible")),
     ).persist()
 
-    class_counts = {
-        r["__class"]: r["count"]
-        for r in cand.groupBy("__class").count().collect()
-    }
+    class_counts = (
+        {
+            r["__class"]: r["count"]
+            for r in cand.groupBy("__class").count().collect()
+        }
+        if config.collect_metrics
+        else {}
+    )
 
     # 5. politeness: budget = max(1, floor(wave_seconds / crawl_delay))
     eligible = cand.filter(F.col("__class") == "eligible").withColumn(
@@ -186,17 +249,28 @@ def run_wave(
         .select("canon_url", "host", "surt", "priority")
     )
 
-    # 6. crawl order: global sequence over the total ORDER_KEY
-    crawl_order = with_global_seq(
+    # 6. crawl order: global sequence over the total ORDER_KEY (the
+    #    offsets pass doubles as the selected-count job)
+    crawl_order, n_selected = with_global_seq(
         selected.withColumn("wave", F.lit(wave)),
         order_cols=["priority", "surt", "canon_url"],
         start=next_seq,
-    ).select("seq", "wave", F.col("canon_url").alias("url"), "host", "priority")
-
-    # 7. fetch + extract (J1 content side): html joined ONLY for selected
-    fetched = selected.join(
-        pages.select(F.col("url").alias("canon_url"), "html"), "canon_url", "left"
+        return_total=True,
     )
+    crawl_order = crawl_order.select(
+        "seq", "wave", F.col("canon_url").alias("url"), "host", "priority"
+    )
+
+    # 7. fetch + extract (J1 content side): html joined ONLY for selected;
+    #    broadcast the selected set → the fat html column never shuffles
+    #    (selected ⊆ index hits, so inner ≡ left here)
+    pages_html = pages.select(F.col("url").alias("canon_url"), "html")
+    if config.broadcast_frontier:
+        fetched = pages_html.join(
+            F.broadcast(selected.select("canon_url")), "canon_url"
+        )
+    else:
+        fetched = selected.select("canon_url").join(pages_html, "canon_url", "left")
     extracted = (
         fetched.select("canon_url", "html")
         .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
@@ -207,14 +281,14 @@ def run_wave(
         F.lit(wave).alias("wave"), "canon_url", "host", "priority", "text"
     )
 
-    n_selected = selected.count()
-    n_extracted = results.count()
+    n_extracted = results.count() if config.collect_metrics else -1
 
     # 8. seen' = seen ∪ processed (everything but deferred)
     processed = cand.filter(F.col("__class") != "eligible").select(
         "canon_url"
     ).unionByName(selected.select("canon_url"))
     new_seen = seen.unionByName(processed).distinct()
+    processed = processed.persist()
 
     # 9. discovery: out-links, BFS priority, min-priority merge with deferred
     discovered = (
@@ -223,7 +297,7 @@ def run_wave(
             (F.col("priority") + 1).alias("priority"),
         )
     )
-    n_discovered = discovered.count()
+    n_discovered = discovered.count() if config.collect_metrics else -1
     new_links = (
         discovered.groupBy("canon_url")
         .agg(F.min("priority").cast("int").alias("priority"))
@@ -243,22 +317,26 @@ def run_wave(
         .select("canon_url", "host", "surt", "priority")
     )
 
-    metrics = {
-        "wave": wave,
-        "candidates": sum(class_counts.values()),
-        "disallowed": class_counts.get("disallowed", 0),
-        "misses": class_counts.get("miss", 0),
-        "ineligible": class_counts.get("ineligible", 0),
-        "selected": n_selected,
-        "deferred": class_counts.get("eligible", 0) - n_selected,
-        "extracted": n_extracted,
-        "extract_failures": n_selected - n_extracted,
-        "discovered": n_discovered,
-    }
+    if config.collect_metrics:
+        metrics = {
+            "wave": wave,
+            "candidates": sum(class_counts.values()),
+            "disallowed": class_counts.get("disallowed", 0),
+            "misses": class_counts.get("miss", 0),
+            "ineligible": class_counts.get("ineligible", 0),
+            "selected": n_selected,
+            "deferred": class_counts.get("eligible", 0) - n_selected,
+            "extracted": n_extracted,
+            "extract_failures": n_selected - n_extracted,
+            "discovered": n_discovered,
+        }
+    else:
+        metrics = {"wave": wave, "selected": n_selected}
     return WaveOutput(
         crawl_order=crawl_order,
         results=results,
         new_frontier=new_frontier,
         new_seen=new_seen,
+        processed=processed,
         metrics=metrics,
     )

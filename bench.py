@@ -26,6 +26,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
     from basic_common_crawl_pipeline_spark.plans import catalog
     from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
@@ -48,22 +49,66 @@ def main() -> None:
         return result
 
     # -- flagship: multi-wave frontier expansion over derived pages -------
-    pages, seeds, robots = catalog.pages_from_documents(spark, sf_dir)
+    replicate = int(os.environ.get("SPARK_GRAFT_CRAWL_REPLICATE", "50"))
+    pages, seeds, robots = catalog.pages_from_documents(
+        spark, sf_dir, replicate=replicate, seeds_mod=3
+    )
     pages = pages.persist()
-    pages.count()  # corpus materialized before the clock starts
+    n_pages = pages.count()  # corpus materialized before the clock starts
+    throughput["corpus_pages"] = n_pages
 
     t0 = time.time()
     state = run_crawl(
         spark, pages, seeds, robots,
-        CrawlConfig(wave_seconds=64.0, max_waves=3, salt_partitions=8),
+        CrawlConfig(
+            wave_seconds=65536.0, max_waves=3, salt_partitions=8,
+            collect_metrics=False,
+        ),
     )
     crawl_sec = time.time() - t0
     urls = sum(m["selected"] for m in state.metrics)
-    extracted = sum(m["extracted"] for m in state.metrics)
     timings["crawl_3waves"] = round(crawl_sec, 3)
     throughput["frontier_urls_per_sec"] = round(urls / crawl_sec, 2)
     throughput["crawl_urls"] = urls
-    throughput["crawl_extracted"] = extracted
+
+    # -- worker hot loop in isolation: full-corpus extract+links ----------
+    # (the reference worker's per-record loop, rust/src/bin/worker.rs:40-68,
+    # as one Arrow-vectorized stage — the purest scaling surface)
+    from basic_common_crawl_pipeline_spark.plans.wave import (
+        _EXTRACT_SCHEMA,
+        _extract_batches,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    n_extracted_full = (
+        pages.select(F.col("url").alias("canon_url"), "html")
+        .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    ext_sec = time.time() - t0
+    timings["extract_full_corpus"] = round(ext_sec, 3)
+    throughput["extract_pages_per_sec"] = round(n_pages / ext_sec, 2)
+    throughput["extract_ok"] = n_extracted_full
+
+    # -- single-node sequential baseline (the reference's execution model:
+    # one worker, one record at a time) on a 5k-page sample ---------------
+    from basic_common_crawl_pipeline_spark.functions.extract import extract_text
+    from basic_common_crawl_pipeline_spark.functions.links import extract_links
+
+    sample = pages.select("url", "html").limit(5000).collect()
+    t0 = time.time()
+    for row in sample:
+        extract_text(row.html)
+        extract_links(row.html, row.url)
+    seq_sec = time.time() - t0
+    throughput["sequential_pages_per_sec"] = round(len(sample) / seq_sec, 2)
+    throughput["spark_vs_sequential_speedup"] = round(
+        throughput["extract_pages_per_sec"]
+        / throughput["sequential_pages_per_sec"],
+        2,
+    )
 
     # -- relational / dedup / similarity / streaming headliners -----------
     q = catalog.queries()
