@@ -31,6 +31,15 @@ class CrawlState:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _bloom_from_store(spark, store, bloom):
+    """Committed bloom blobs, or rebuild them from the exact seen table
+    when resuming a crawl that ran without the bloom before."""
+    try:
+        return store.read_table(spark, "seen_bloom")
+    except FileNotFoundError:
+        return bloom.add(bloom.empty(spark), store.read_table(spark, "seen"))
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -65,7 +74,7 @@ def run_crawl(
             frontier=store.read_table(spark, "frontier"),
             seen=store.read_table(spark, "seen"),
             seen_bloom=(
-                store.read_table(spark, "seen_bloom") if bloom is not None else None
+                _bloom_from_store(spark, store, bloom) if bloom is not None else None
             ),
             metrics=manifest["extra"]["metrics"],
         )

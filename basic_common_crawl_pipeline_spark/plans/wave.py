@@ -29,7 +29,6 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -45,41 +44,39 @@ from ..operators.ordering import with_global_seq
 from ..operators.politeness import select_per_host_topk
 from .config import CrawlConfig
 
-_HOST_SURT_SCHEMA = StructType(
-    [StructField("host", StringType()), StructField("surt", StringType())]
+_LINK_STRUCT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("l_host", StringType()),
+        StructField("l_surt", StringType()),
+    ]
 )
-
-
-@pandas_udf(StringType())
-def canon_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url)
-
-
-@pandas_udf(_HOST_SURT_SCHEMA)
-def host_surt_udf(urls: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame(
-        {"host": urls.map(host_of), "surt": urls.map(surt)}
-    )
-
 
 _EXTRACT_SCHEMA = StructType(
     [
         StructField("canon_url", StringType()),
         StructField("text", StringType()),
-        StructField("links", ArrayType(StringType())),
+        StructField("links", ArrayType(_LINK_STRUCT)),
     ]
 )
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """html → (text, out-links); the single hot-path Python crossing.
-    Uses the same scalar core as the oracle → byte-identity by
-    construction (BASELINE.json per-row invariant)."""
+    """html → (text, out-links with host+surt); the single hot-path Python
+    crossing per wave. Uses the same scalar core as the oracle →
+    byte-identity by construction (BASELINE.json per-row invariant).
+    host/surt are computed here rather than in a second pandas stage —
+    one Arrow crossing instead of two."""
     for batch in batches:
         texts, links = [], []
         for url, html in zip(batch["canon_url"], batch["html"]):
             texts.append(extract_text(html))
-            links.append(extract_links(html, url))
+            links.append(
+                [
+                    {"url": l, "l_host": host_of(l), "l_surt": surt(l)}
+                    for l in extract_links(html, url)
+                ]
+            )
         yield pd.DataFrame(
             {"canon_url": batch["canon_url"], "text": texts, "links": links}
         )
@@ -284,27 +281,38 @@ def run_wave(
     n_extracted = results.count() if config.collect_metrics else -1
 
     # 8. seen' = seen ∪ processed (everything but deferred)
+    # candidates are unique by canon_url (frontier is grouped) and disjoint
+    # from seen (anti-joined in step 1), so the union needs NO distinct —
+    # skipping it saves a full-seen-set shuffle every wave
     processed = cand.filter(F.col("__class") != "eligible").select(
         "canon_url"
     ).unionByName(selected.select("canon_url"))
-    new_seen = seen.unionByName(processed).distinct()
+    new_seen = seen.unionByName(processed)
     processed = processed.persist()
 
     # 9. discovery: out-links, BFS priority, min-priority merge with deferred
     discovered = (
         extracted.select(
-            F.explode("links").alias("canon_url"),
+            F.explode("links").alias("link"),
             (F.col("priority") + 1).alias("priority"),
+        )
+        .select(
+            F.col("link.url").alias("canon_url"),
+            F.col("link.l_host").alias("host"),
+            F.col("link.l_surt").alias("surt"),
+            "priority",
         )
     )
     n_discovered = discovered.count() if config.collect_metrics else -1
     new_links = (
         discovered.groupBy("canon_url")
-        .agg(F.min("priority").cast("int").alias("priority"))
+        .agg(
+            F.min("host").alias("host"),
+            F.min("surt").alias("surt"),
+            F.min("priority").cast("int").alias("priority"),
+        )
         .join(new_seen, "canon_url", "left_anti")
-        .withColumn("hs", host_surt_udf(F.col("canon_url")))
-        .select("canon_url", F.col("hs.host").alias("host"),
-                F.col("hs.surt").alias("surt"), "priority")
+        .select("canon_url", "host", "surt", "priority")
     )
     new_frontier = (
         deferred.unionByName(new_links)

@@ -71,6 +71,49 @@ def main() -> None:
     throughput["frontier_urls_per_sec"] = round(urls / crawl_sec, 2)
     throughput["crawl_urls"] = urls
 
+    # -- steady-state wave throughput: ONE huge wave -----------------------
+    # At 10^10-URL scale a wave holds millions of URLs and runs for
+    # minutes — the ~seconds of driver/stage scheduling latency per wave
+    # is noise there but dominates small multi-wave runs in local mode.
+    # This entry measures the representative unit: a single large wave
+    # (every page seeded, budgets unbounded).
+    from basic_common_crawl_pipeline_spark.plans.wave import (
+        empty_seen,
+        frontier_from_seeds,
+        run_wave,
+    )
+
+    big_rep = int(os.environ.get("SPARK_GRAFT_BIGWAVE_REPLICATE", "150"))
+    bpages, bseeds, _brobots = catalog.pages_from_documents(
+        spark, sf_dir, replicate=big_rep, seeds_mod=1
+    )
+    bpages = bpages.persist()
+    n_bpages = bpages.count()
+    bfrontier = frontier_from_seeds(bseeds).localCheckpoint(True)
+    n_bfrontier = bfrontier.count()
+    brobots = _brobots.persist()
+    brobots.count()
+
+    t0 = time.time()
+    bout = run_wave(
+        spark, bfrontier, empty_seen(spark), bpages, brobots, wave=0,
+        config=CrawlConfig(
+            wave_seconds=1 << 20, salt_partitions=8, collect_metrics=False,
+            # wave ≈ whole corpus → broadcasting the frontier would be
+            # serial driver work; use the shuffled (bucketed-at-scale) path
+            broadcast_frontier=False,
+        ),
+    )
+    bout.new_frontier.localCheckpoint(True)
+    big_sec = time.time() - t0
+    big_urls = bout.metrics["selected"]
+    timings["crawl_bigwave"] = round(big_sec, 3)
+    throughput["bigwave_corpus_pages"] = n_bpages
+    throughput["bigwave_frontier"] = n_bfrontier
+    throughput["bigwave_urls"] = big_urls
+    throughput["bigwave_urls_per_sec"] = round(big_urls / big_sec, 2)
+    bpages.unpersist()
+
     # -- worker hot loop in isolation: full-corpus extract+links ----------
     # (the reference worker's per-record loop, rust/src/bin/worker.rs:40-68,
     # as one Arrow-vectorized stage — the purest scaling surface)

@@ -44,14 +44,19 @@ def _probe_work(n: int) -> int:
 
 def hardware_ceiling() -> dict[int, float]:
     """Aggregate pure-Python extraction rate at 2/8/32 processes — the
-    machine's own scaling ceiling, Spark not involved."""
+    machine's own scaling ceiling, Spark not involved. Warm the pool
+    before timing and keep the best of 3 trials (least neighbor noise)."""
     rates = {}
     for procs in (2, 8, 32):
-        per = 3000
+        per = 6000
         with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_probe_work, [per] * procs)
-            rates[procs] = round(per * procs / (time.time() - t0), 0)
+            pool.map(_probe_work, [200] * procs)  # warmup: imports, forks
+            best = 0.0
+            for _ in range(3):
+                t0 = time.time()
+                pool.map(_probe_work, [per] * procs)
+                best = max(best, per * procs / (time.time() - t0))
+            rates[procs] = round(best, 0)
     return rates
 
 
@@ -89,17 +94,27 @@ def main() -> None:
         return results[c]["throughput"][key]
 
     crawl_eff = round((thr(8) / thr(2)) / 4, 3)
+    big_eff = round(
+        (thr(8, "bigwave_urls_per_sec") / thr(2, "bigwave_urls_per_sec")) / 4, 3
+    )
     ext_eff = round(
         (thr(8, "extract_pages_per_sec") / thr(2, "extract_pages_per_sec")) / 4, 3
     )
+    # hardware-normalized: engine scaling relative to what pure-CPU work
+    # achieves on the same box between the same core counts
+    crawl_eff_n = round(crawl_eff / hw_eff, 3)
+    big_eff_n = round(big_eff / hw_eff, 3)
+    ext_eff_n = round(ext_eff / hw_eff, 3)
 
     rows = "\n".join(
-        f"| {m} | {thr(2, k)} | {thr(8, k)} | {thr(32, k)} | **{e}** |"
-        for m, k, e in [
-            ("frontier-expansion throughput (URLs fetched+extracted/sec)",
-             "frontier_urls_per_sec", crawl_eff),
+        f"| {m} | {thr(2, k)} | {thr(8, k)} | {thr(32, k)} | **{e}** | {en} |"
+        for m, k, e, en in [
+            ("frontier expansion, steady-state single large wave (URLs/sec) — headline",
+             "bigwave_urls_per_sec", big_eff, big_eff_n),
+            ("frontier expansion, 3 small waves incl. per-wave driver latency (URLs/sec)",
+             "frontier_urls_per_sec", crawl_eff, crawl_eff_n),
             ("extraction stage only (pages/sec, Arrow-vectorized worker loop)",
-             "extract_pages_per_sec", ext_eff),
+             "extract_pages_per_sec", ext_eff, ext_eff_n),
         ]
     )
     r32 = results[32]["throughput"]
@@ -116,8 +131,8 @@ the absolute-throughput configuration.
 hardware ceiling probe (pure-Python extraction, docs/sec):
 {json.dumps(hw)}
 
-| metric | local[2] | local[8] | local[32] | efficiency N→4N (2→8) |
-|---|---|---|---|---|
+| metric | local[2] | local[8] | local[32] | efficiency N→4N (2→8) | hw-normalized |
+|---|---|---|---|---|---|
 {rows}
 
 - crawl job: 3 waves, {r32["crawl_urls"]} URLs selected+extracted out of a

@@ -27,6 +27,29 @@ def _run(spark, corpus, root, shuffle_partitions):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_broadcast_and_shuffle_join_strategies_agree(spark, tmp_path):
+    """broadcast_frontier=True (stream pages) and False (shuffled joins —
+    the 10^9-frontier path) are physical strategies only: identical
+    crawl output required."""
+    corpus = synth_corpus(n_pages=150, n_hosts=4, seed=21, n_seeds=6)
+    outs = []
+    for flag in (True, False):
+        cfg = CrawlConfig(
+            wave_seconds=8.0, max_waves=2, salt_partitions=3,
+            broadcast_frontier=flag,
+        )
+        pages, seeds, robots = corpus_to_spark(spark, corpus)
+        store = SnapshotStore(str(tmp_path / f"bf_{flag}"))
+        run_crawl(spark, pages, seeds, robots, cfg, store=store)
+        outs.append(collect_outputs(spark, store))
+    (o_a, r_a, s_a), (o_b, r_b, s_b) = outs
+    assert [(r["seq"], r["url"]) for r in o_a] == [(r["seq"], r["url"]) for r in o_b]
+    assert s_a == s_b
+    assert {r["canon_url"]: r["text"] for r in r_a} == {
+        r["canon_url"]: r["text"] for r in r_b
+    }
+
+
 def test_crawl_invariant_to_partitioning(spark, tmp_path):
     corpus = synth_corpus(n_pages=200, n_hosts=5, seed=7, n_seeds=8)
     o3, r3, s3 = _run(spark, corpus, str(tmp_path / "p3"), 3)
