@@ -207,7 +207,10 @@ def run_wave(
         )
         cand = hits.unionByName(missed)
     else:
-        cand = cand.join(index, "canon_url", "left")
+        # shuffle_hash, not sort-merge: builds the hash map on the frontier
+        # side and streams pages without sorting them — pages cached
+        # hash-partitioned by url reuses its partitioning (no exchange)
+        cand = cand.hint("shuffle_hash").join(index, "canon_url", "left")
 
     # 4. classify: disallowed / miss / ineligible / eligible (F1-F3)
     lang_ok = F.array_contains(
@@ -267,7 +270,11 @@ def run_wave(
             F.broadcast(selected.select("canon_url")), "canon_url"
         )
     else:
-        fetched = selected.select("canon_url").join(pages_html, "canon_url", "left")
+        fetched = (
+            selected.select("canon_url")
+            .hint("shuffle_hash")
+            .join(pages_html, "canon_url", "left")
+        )
     extracted = (
         fetched.select("canon_url", "html")
         .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
