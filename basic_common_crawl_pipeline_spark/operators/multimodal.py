@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -42,7 +42,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("feature", ArrayType(FloatType())),
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
@@ -51,13 +51,17 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     """Deterministic stand-in for a real decoder (Pillow/librosa/ffmpeg).
 
     Derives fake dimensions and an 8-dim feature vector from the sha256 of
-    the payload — stable across executors, partitions, and runs. A real
-    deployment raises NotImplementedError for kinds it can't decode.
+    the payload — stable across executors, partitions, and runs, and
+    reproducible in SQL (floor-based rounding, see functions/numeric.py)
+    so the plumbing has a DuckDB oracle. A real deployment raises
+    NotImplementedError for kinds it can't decode.
     """
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
-    feature = [round(b / 255.0, 6) for b in digest[2:10]]
+    feature = [
+        int(b / 255.0 * 1_000_000 + 0.5) / 1_000_000 for b in digest[2:10]
+    ]
     return {"width": width, "height": height, "feature": feature}
 
 

@@ -878,6 +878,53 @@ def stream_stateful_user_totals(spark, sf_dir):
 
 
 @register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             encode(text) AS payload,
+             sha256(text) AS dig  -- VARCHAR overload hashes the utf-8 bytes
+      FROM documents
+    )
+    SELECT media_id, kind,
+           octet_length(payload) AS n_bytes,
+           16 + ('0x' || substr(dig, 1, 2))::INT % 240 AS width,
+           16 + ('0x' || substr(dig, 3, 2))::INT % 240 AS height,
+           floor(('0x' || substr(dig, 5, 2))::INT / 255.0 * 1000000 + 0.5)
+             / 1000000 AS f0,
+           floor(('0x' || substr(dig, 7, 2))::INT / 255.0 * 1000000 + 0.5)
+             / 1000000 AS f1
+    FROM m
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads → typed features via
+    one Arrow-batched mapInPandas (operators/multimodal.py). Payloads are
+    the documents' utf-8 bytes; the deterministic fake decoder derives
+    dims/features from sha256(payload), reproduced bit-for-bit by the
+    DuckDB oracle (real decoders swap in behind the same signature)."""
+    from ..operators.multimodal import extract_media_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        F.col("feature").getItem(0).alias("f0"),
+        F.col("feature").getItem(1).alias("f1"),
+    )
+
+
+@register(
     "t1_gzip_roundtrip",
     "SELECT doc_id, true AS roundtrip_ok FROM documents",
 )
