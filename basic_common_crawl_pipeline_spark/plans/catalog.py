@@ -878,6 +878,36 @@ def stream_stateful_user_totals(spark, sf_dir):
 
 
 @register(
+    "sql_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           """ + _r4("sum(o_totalprice)") + """ AS revenue,
+           """ + _r4("avg(o_totalprice)") + """ AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_revenue_by_segment(spark, sf_dir):
+    """The spark.sql surface: same Catalyst plans from SQL text as from
+    the DataFrame API — views registered over the parquet tables."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+               floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS avg_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
     "multimodal_features",
     """
     WITH m AS (

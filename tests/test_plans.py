@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations the 100 TB design relies
+on must actually appear in the executed plans (SURVEY.md §4) — partition
+pruning, parquet filter/column pushdown, top-k via TakeOrderedAndProject,
+and whole-stage codegen on the relational path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_partition_pruning_on_partitioned_pages(spark, tmp_path):
+    # the pages table at scale is partitioned (bucketed) — a host/lang
+    # predicate must prune files, not filter rows post-scan
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(lang" in plan or "lang" in plan.split("PartitionFilters")[1][:200]
+    # all rows come from the lang=en partition only
+    assert pruned.select("lang").distinct().collect()[0][0] == "en"
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("n_chars") > 300)
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(n_chars,300)" in plan
+    # column pruning: scan schema holds only the two needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+
+
+def test_limit_becomes_take_ordered(spark):
+    from basic_common_crawl_pipeline_spark.plans.catalog import b2_limit
+
+    plan = _plan(b2_limit(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_and_partial_aggregation(spark):
+    from basic_common_crawl_pipeline_spark.plans.catalog import a1_pricing_summary
+
+    df = a1_pricing_summary(spark, SF)
+    # map-side combine: partial aggregate below the exchange
+    pre = _plan(df)
+    assert "partial_sum" in pre and "Exchange hashpartitioning" in pre
+    df.collect()  # AQE finalizes the plan only on execution
+    post = _plan(df)
+    assert "WholeStageCodegen" in post or "*(" in post
+
+
+def test_broadcast_joins_in_star_query(spark):
+    from basic_common_crawl_pipeline_spark.plans.catalog import j3_star_join
+
+    plan = _plan(j3_star_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_rowbased_python_udf_anywhere():
+    """input_hint: no per-row Python — the repo must not use F.udf()."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "basic_common_crawl_pipeline_spark"
+    )
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if "F.udf(" in src or "functions.udf(" in src:
+            offenders.append(str(py))
+    assert not offenders, offenders
