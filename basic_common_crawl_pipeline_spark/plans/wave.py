@@ -281,8 +281,15 @@ def run_wave(
         .join(selected, "canon_url")
         .persist()
     )
+    # per-partition lineage (north_rule M4): which physical partition
+    # produced each row, alongside its wave — written with every snapshot
     results = extracted.filter(F.col("text").isNotNull()).select(
-        F.lit(wave).alias("wave"), "canon_url", "host", "priority", "text"
+        F.lit(wave).alias("wave"),
+        "canon_url",
+        "host",
+        "priority",
+        "text",
+        F.spark_partition_id().alias("partition_id"),
     )
 
     n_extracted = results.count() if config.collect_metrics else -1
