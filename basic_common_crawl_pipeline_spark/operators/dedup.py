@@ -19,6 +19,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round4
 from ..functions.textstats import norm_text, word_ngrams, word_tokens
 
 
@@ -135,9 +136,11 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
+            # round4, NOT F.round: Spark's Round goes through BigDecimal and
+            # tie-breaks differently from the DuckDB oracle's floor formula
+            # (CLAUDE.md cross-engine rule) — e.g. 2469/20000 = 0.12345.
+            round4(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )

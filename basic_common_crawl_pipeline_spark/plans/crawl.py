@@ -31,13 +31,37 @@ class CrawlState:
     metrics: list[dict] = field(default_factory=list)
 
 
-def _bloom_from_store(spark, store, bloom):
-    """Committed bloom blobs, or rebuild them from the exact seen table
-    when resuming a crawl that ran without the bloom before."""
-    try:
-        return store.read_table(spark, "seen_bloom")
-    except FileNotFoundError:
-        return bloom.add(bloom.empty(spark), store.read_table(spark, "seen"))
+def _bloom_from_store(spark, store, bloom, manifest):
+    """Committed bloom blobs — but ONLY when the committed geometry
+    (partitions, m_bits, k) matches the configured one. A geometry change
+    would reinterpret the blobs with the wrong bit positions → false
+    NEGATIVES → already-seen URLs re-crawled. On mismatch (or when the
+    crawl ran bloom-less before) rebuild from the exact seen table."""
+    committed = (manifest.get("extra") or {}).get("bloom_params")
+    params = {"partitions": bloom.partitions, "m_bits": bloom.m_bits, "k": bloom.k}
+    if committed == params:
+        try:
+            return store.read_table(spark, "seen_bloom")
+        except FileNotFoundError:
+            pass
+    return bloom.add(bloom.empty(spark), store.read_table(spark, "seen"))
+
+
+_METRICS_SCHEMA = (
+    "wave int, candidates long, disallowed long, misses long, "
+    "ineligible long, selected long, deferred long, extracted long, "
+    "extract_failures long, discovered long"
+)
+
+
+def metrics_table(spark: SparkSession, metrics: list[dict]) -> DataFrame:
+    """Per-wave metrics dicts → a queryable DataFrame (S7: the metrics
+    'endpoint' as a snapshot table, not just manifest JSON — the Spark
+    analog of the reference's Prometheus counters,
+    rust/src/tracing_and_metrics.rs:5-20)."""
+    cols = [c.split()[0] for c in _METRICS_SCHEMA.split(", ")]
+    rows = [tuple(m.get(c) for c in cols) for m in metrics]
+    return spark.createDataFrame(rows, _METRICS_SCHEMA)
 
 
 def run_crawl(
@@ -55,7 +79,26 @@ def run_crawl(
     frontier/seen/crawl_order/results/metrics and truncates DataFrame
     lineage by reloading state from the committed parquet (essential: an
     unbounded union-chain of `seen` otherwise grows the plan every wave).
+
+    PRECONDITION: ``pages`` must be unique per url (one capture per URL).
+    The wave's broadcast index join would duplicate a candidate per extra
+    capture, corrupting crawl order and the seen set. Real CDX indexes
+    hold multiple captures per URL — dedupe at ingest (keep the latest
+    warc_ts) rather than per wave: one shuffle once instead of every wave.
+    ``config.validate_pages_unique`` checks this once at crawl start
+    (column-pruned to url — the fat html column is never read).
     """
+    if config.validate_pages_unique:
+        from pyspark.sql import functions as F
+
+        dup = (
+            pages.groupBy("url").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "pages table has duplicate urls; dedupe at ingest "
+                "(e.g. keep max warc_ts per url) before run_crawl"
+            )
     bloom = None
     if config.use_bloom:
         from ..operators.seen import BloomSeen
@@ -74,7 +117,9 @@ def run_crawl(
             frontier=store.read_table(spark, "frontier"),
             seen=store.read_table(spark, "seen"),
             seen_bloom=(
-                _bloom_from_store(spark, store, bloom) if bloom is not None else None
+                _bloom_from_store(spark, store, bloom, manifest)
+                if bloom is not None
+                else None
             ),
             metrics=manifest["extra"]["metrics"],
         )
@@ -88,7 +133,15 @@ def run_crawl(
         )
 
     while state.wave < config.max_waves:
-        if state.frontier.limit(1).count() == 0:
+        # frontier-drained check doubles as the auto-join-strategy input:
+        # in "auto" mode count the (small, column-pruned) frontier so the
+        # wave can pick broadcast vs shuffle_hash — still one action
+        n_frontier = (
+            state.frontier.count()
+            if config.broadcast_frontier == "auto"
+            else state.frontier.limit(1).count()
+        )
+        if n_frontier == 0:
             break
         out: WaveOutput = run_wave(
             spark,
@@ -101,6 +154,7 @@ def run_crawl(
             next_seq=state.next_seq,
             seen_bloom=state.seen_bloom,
             bloom=bloom,
+            frontier_count=n_frontier,
         )
         state.metrics.append(out.metrics)
         next_seq = state.next_seq + out.metrics["selected"]
@@ -136,17 +190,28 @@ def run_crawl(
                 "seen": out.new_seen,
                 "crawl_order": order_all,
                 "results": results_all,
+                # S7: metrics as a queryable snapshot table, not only
+                # manifest JSON
+                "metrics": metrics_table(spark, state.metrics),
             }
             if new_bloom is not None:
                 tables["seen_bloom"] = new_bloom
+            extra = {
+                "next_wave": state.wave + 1,
+                "next_seq": next_seq,
+                "metrics": state.metrics,
+            }
+            if bloom is not None:
+                # record the bloom geometry so resume can detect mismatch
+                extra["bloom_params"] = {
+                    "partitions": bloom.partitions,
+                    "m_bits": bloom.m_bits,
+                    "k": bloom.k,
+                }
             store.commit(
                 snapshot=state.wave + 1,
                 tables=tables,
-                extra={
-                    "next_wave": state.wave + 1,
-                    "next_seq": next_seq,
-                    "metrics": state.metrics,
-                },
+                extra=extra,
             )
             # lineage truncation: reload committed state
             state.frontier = store.read_table(spark, "frontier")
@@ -161,6 +226,10 @@ def run_crawl(
             state.seen = out.new_seen.localCheckpoint(eager=True)
             if new_bloom is not None:
                 state.seen_bloom = new_bloom.localCheckpoint(eager=True)
+        # state is committed/checkpointed — release the wave's caches so a
+        # long crawl doesn't accumulate dead blocks in executor storage
+        for cached_df in out.cached:
+            cached_df.unpersist()
         state.wave += 1
         state.next_seq = next_seq
     return state

@@ -103,7 +103,9 @@ def _canonize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "canon_url": canon[keep],
                 "host": canon[keep].map(host_of),
                 "surt": canon[keep].map(surt),
-                "priority": batch["priority"][keep].astype("int32"),
+                # null priority arrives as NaN (float64); default to 0 like
+                # the oracle's s.get("priority", 0) instead of raising
+                "priority": batch["priority"][keep].fillna(0).astype("int32"),
             }
         )
 
@@ -135,6 +137,10 @@ class WaveOutput:
     new_seen: DataFrame      # canon_url
     processed: DataFrame     # canon_url — urls newly marked seen this wave
     metrics: dict
+    # the wave's .persist()ed intermediates — the caller unpersists them
+    # once downstream state is committed/checkpointed, so long crawls don't
+    # accumulate dead cache entries in the executors' block managers
+    cached: tuple = ()
 
 
 def run_wave(
@@ -148,7 +154,18 @@ def run_wave(
     next_seq: int = 1,
     seen_bloom: DataFrame | None = None,
     bloom=None,
+    frontier_count: int | None = None,
 ) -> WaveOutput:
+    # join-strategy choice (J1): static bool from config, or — in "auto"
+    # mode — per wave from the frontier row count the caller measured in
+    # its frontier-drained check (no extra action here)
+    if config.broadcast_frontier == "auto":
+        use_broadcast = (
+            frontier_count is not None
+            and frontier_count <= config.broadcast_threshold
+        )
+    else:
+        use_broadcast = bool(config.broadcast_frontier)
     # 1. candidates = frontier ∖ seen. With the partitioned bloom
     #    (operators/seen.py): bloom-negative rows are *definitely* unseen
     #    and skip the exact anti-join entirely; only bloom-positive rows
@@ -198,7 +215,7 @@ def run_wave(
         F.col("status").alias("__status"),
         F.col("lang").alias("__lang"),
     )
-    if config.broadcast_frontier:
+    if use_broadcast:
         hits = index.join(F.broadcast(cand), "canon_url")
         missed = cand.join(
             F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
@@ -225,15 +242,6 @@ def run_wave(
               F.lit("eligible"))
         .otherwise(F.lit("ineligible")),
     ).persist()
-
-    class_counts = (
-        {
-            r["__class"]: r["count"]
-            for r in cand.groupBy("__class").count().collect()
-        }
-        if config.collect_metrics
-        else {}
-    )
 
     # 5. politeness: budget = max(1, floor(wave_seconds / crawl_delay))
     eligible = cand.filter(F.col("__class") == "eligible").withColumn(
@@ -265,7 +273,7 @@ def run_wave(
     #    broadcast the selected set → the fat html column never shuffles
     #    (selected ⊆ index hits, so inner ≡ left here)
     pages_html = pages.select(F.col("url").alias("canon_url"), "html")
-    if config.broadcast_frontier:
+    if use_broadcast:
         fetched = pages_html.join(
             F.broadcast(selected.select("canon_url")), "canon_url"
         )
@@ -292,8 +300,6 @@ def run_wave(
         F.spark_partition_id().alias("partition_id"),
     )
 
-    n_extracted = results.count() if config.collect_metrics else -1
-
     # 8. seen' = seen ∪ processed (everything but deferred)
     # candidates are unique by canon_url (frontier is grouped) and disjoint
     # from seen (anti-joined in step 1), so the union needs NO distinct —
@@ -317,7 +323,6 @@ def run_wave(
             "priority",
         )
     )
-    n_discovered = discovered.count() if config.collect_metrics else -1
     new_links = (
         discovered.groupBy("canon_url")
         .agg(
@@ -340,17 +345,44 @@ def run_wave(
     )
 
     if config.collect_metrics:
+        # ONE metrics action per wave: a union of single-column tag rows
+        # counted in one job, instead of three separate actions (class
+        # breakdown, results.count, discovered.count) that each re-entered
+        # the persisted-but-evictable cand/extracted caches. The union is
+        # column-pruned to the constant tag, so the only real work is one
+        # pass over the two caches.
+        tags = (
+            cand.select(F.col("__class").alias("k"))
+            .unionByName(
+                extracted.filter(F.col("text").isNotNull()).select(
+                    F.lit("extracted").alias("k")
+                )
+            )
+            .unionByName(
+                extracted.select(F.explode("links").alias("l")).select(
+                    F.lit("discovered").alias("k")
+                )
+            )
+        )
+        counts = {
+            r["k"]: r["n"]
+            for r in tags.groupBy("k").agg(F.count("*").alias("n")).collect()
+        }
+        n_extracted = counts.get("extracted", 0)
         metrics = {
             "wave": wave,
-            "candidates": sum(class_counts.values()),
-            "disallowed": class_counts.get("disallowed", 0),
-            "misses": class_counts.get("miss", 0),
-            "ineligible": class_counts.get("ineligible", 0),
+            "candidates": sum(
+                counts.get(c, 0)
+                for c in ("disallowed", "miss", "ineligible", "eligible")
+            ),
+            "disallowed": counts.get("disallowed", 0),
+            "misses": counts.get("miss", 0),
+            "ineligible": counts.get("ineligible", 0),
             "selected": n_selected,
-            "deferred": class_counts.get("eligible", 0) - n_selected,
+            "deferred": counts.get("eligible", 0) - n_selected,
             "extracted": n_extracted,
             "extract_failures": n_selected - n_extracted,
-            "discovered": n_discovered,
+            "discovered": counts.get("discovered", 0),
         }
     else:
         metrics = {"wave": wave, "selected": n_selected}
@@ -361,4 +393,5 @@ def run_wave(
         new_seen=new_seen,
         processed=processed,
         metrics=metrics,
+        cached=(cand, selected, extracted, processed),
     )

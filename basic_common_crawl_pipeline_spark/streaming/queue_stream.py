@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round4
+
 
 def publish_batches(df: DataFrame, queue_dir: str, batch_size: int = 1000) -> None:
     """S4: producer side — write the dataset as N-row parquet 'messages'.
@@ -58,7 +60,8 @@ def windowed_event_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        # round4, NOT F.round — cross-engine tie-breaking rule (CLAUDE.md)
+        .agg(F.count("*").alias("n"), round4(F.sum("value")).alias("sum_value"))
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
