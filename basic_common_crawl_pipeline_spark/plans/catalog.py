@@ -996,6 +996,82 @@ def p6_utf8_decode(spark, sf_dir):
 
 
 # ===========================================================================
+# G2. physical WARC ingestion (S2/S3/P4/F4/P5/P6/T2 as one executable chain)
+# ===========================================================================
+
+
+def _warc_fixture_pages(docs: DataFrame) -> DataFrame:
+    """(url, html) rows whose html the DuckDB oracle reproduces verbatim
+    by string concatenation — so record digests and extracted text are
+    cross-engine checkable."""
+    did = F.col("doc_id").cast("string")
+    url = F.format_string(
+        "http://src%d.test/doc/%d", F.col("doc_id") % 20, F.col("doc_id")
+    )
+    html = F.concat(
+        F.lit("<html><head><title>d"), did,
+        F.lit("</title></head><body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    ).cast("binary")
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+_WARC_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, text AS doc_text,
+             printf('http://src%d.test/doc/%d', doc_id % 20, doc_id) AS url,
+             '<html><head><title>d' || doc_id
+               || '</title></head><body><h1>Doc ' || doc_id
+               || '</h1><p>' || text || '</p></body></html>' AS html
+      FROM documents
+    )
+    SELECT url,
+           CAST(200 AS INTEGER) AS status,
+           octet_length(encode(html)) AS n_bytes,
+           md5(html) AS payload_md5,
+           'd' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
+             || regexp_replace(trim(doc_text), '\\s+', ' ', 'g') AS text
+    FROM h
+"""
+
+
+@register("warc_ingest", _WARC_ORACLE)
+def warc_ingest(spark, sf_dir):
+    """P4+F4+P5+P6+T2: write a real multi-member .warc.gz corpus
+    (response records interleaved with request/warcinfo records the
+    filter must drop), scan whole files via the binaryFile source,
+    iterate gzip members → WARC records, keep WARC-Type == 'response'
+    (rust/src/bin/worker.rs:48-56), split HTTP header/body
+    (rust/src/bin/worker.rs:57-66), lossy-decode and extract."""
+    import tempfile
+
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    pages = _warc_fixture_pages(docs).repartition(8)
+    out_dir = tempfile.mkdtemp(prefix="warc_corpus_")
+    warc.write_warc_corpus(spark, pages, out_dir)
+    return warc.extract_responses(warc.scan_warc_files(spark, out_dir))
+
+
+@register("warc_range_fetch", _WARC_ORACLE)
+def warc_range_fetch(spark, sf_dir):
+    """S2+S3: the CDX-driven byte-range path — each (filename, offset,
+    length) row reads exactly one gzip member and gunzips it standalone
+    (rust/src/commoncrawl.rs:34-67 download_and_unzip), then the same
+    response-extraction tail as warc_ingest."""
+    import tempfile
+
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    pages = _warc_fixture_pages(docs).repartition(8)
+    out_dir = tempfile.mkdtemp(prefix="warc_corpus_")
+    cdx = warc.write_warc_corpus(spark, pages, out_dir)
+    return warc.extract_responses(warc.fetch_warc_records(cdx))
+
+
+# ===========================================================================
 # H. the crawl engine flagship (no SQL oracle — verified against the
 #    single-node oracle in tests/test_crawl_e2e.py instead)
 # ===========================================================================

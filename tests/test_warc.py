@@ -1,0 +1,146 @@
+"""Physical WARC ingestion (sources/warc.py): record round-trips, gzip
+member iteration, and both Spark ingestion paths (range fetch + full-file
+scan) against a plain-Python sequential loop over the same files —
+the single-node execution model of the reference worker
+(rust/src/bin/worker.rs:40-85)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_common_crawl_pipeline_spark.functions.extract import (
+    decode_lossy,
+    extract_text,
+    split_http_response,
+)
+from basic_common_crawl_pipeline_spark.plans.catalog import (
+    _warc_fixture_pages,
+    load,
+)
+from basic_common_crawl_pipeline_spark.sources import warc
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-function units
+# ---------------------------------------------------------------------------
+
+
+def test_record_roundtrip():
+    body = warc.build_http_response(b"<html><p>hi</p></html>")
+    raw = warc.build_warc_record("response", "http://x.test/a", body)
+    headers, block = warc.parse_warc_record(raw)
+    assert headers["WARC-Type"] == "response"
+    assert headers["WARC-Target-URI"] == "http://x.test/a"
+    assert headers["__version__"] == "WARC/1.0"
+    assert block == body
+    assert split_http_response(block) == b"<html><p>hi</p></html>"
+
+
+def test_parse_malformed_record_returns_none():
+    assert warc.parse_warc_record(b"not a warc record") is None
+    assert warc.parse_warc_record(b"WARC/1.0\r\nContent-Length: zz\r\n\r\n") is None
+    # truncated block (Content-Length says 100, only 3 bytes present)
+    assert (
+        warc.parse_warc_record(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nabc")
+        is None
+    )
+
+
+def test_member_iteration():
+    recs = [
+        warc.build_warc_record("warcinfo", None, b"software: t\r\n"),
+        warc.build_warc_record("request", "http://x/1", b"GET / HTTP/1.1\r\n\r\n"),
+        warc.build_warc_record(
+            "response", "http://x/1", warc.build_http_response(b"<p>one</p>")
+        ),
+    ]
+    blob = b"".join(warc._gzip_member(r) for r in recs)
+    members = list(warc.iter_warc_members(blob))
+    assert members == recs
+
+
+# ---------------------------------------------------------------------------
+# Spark paths vs the sequential single-node loop
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("warc_corpus"))
+    docs = load(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 120)
+    pages = _warc_fixture_pages(docs).repartition(4)
+    cdx = warc.write_warc_corpus(spark, pages, out_dir)
+    return out_dir, cdx
+
+
+def _sequential_responses(out_dir):
+    """The warcio-style loop: every record of every file, filter
+    response, split, decode, extract — plain Python, no Spark."""
+    rows = {}
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.warc.gz"))):
+        for headers, block in warc.iter_warc_file(path):
+            if headers.get("WARC-Type") != "response":
+                continue
+            body = split_http_response(block)
+            rows[headers["WARC-Target-URI"]] = (
+                len(body),
+                hashlib.md5(body).hexdigest(),
+                extract_text(decode_lossy(body)),
+            )
+    return rows
+
+
+def test_scan_path_matches_sequential_loop(spark, corpus):
+    out_dir, _ = corpus
+    want = _sequential_responses(out_dir)
+    got = {
+        r["url"]: (r["n_bytes"], r["payload_md5"], r["text"])
+        for r in warc.extract_responses(
+            warc.scan_warc_files(spark, out_dir)
+        ).collect()
+    }
+    assert len(want) == 120
+    assert got == want
+
+
+def test_range_path_matches_scan_path(spark, corpus):
+    out_dir, cdx = corpus
+    scan = {
+        r["url"]: (r["status"], r["n_bytes"], r["payload_md5"], r["text"])
+        for r in warc.extract_responses(
+            warc.scan_warc_files(spark, out_dir)
+        ).collect()
+    }
+    rng = {
+        r["url"]: (r["status"], r["n_bytes"], r["payload_md5"], r["text"])
+        for r in warc.extract_responses(
+            warc.fetch_warc_records(cdx)
+        ).collect()
+    }
+    assert rng == scan
+    assert all(v[0] == 200 for v in rng.values())
+
+
+def test_scan_sees_non_response_records_and_filter_drops_them(spark, corpus):
+    out_dir, cdx = corpus
+    records = warc.scan_warc_files(spark, out_dir)
+    by_type = {
+        r["warc_type"]: r["n"]
+        for r in records.groupBy("warc_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_files = len(glob.glob(os.path.join(out_dir, "*.warc.gz")))
+    # per file: 1 warcinfo; per page: 1 request + 1 response
+    assert by_type["response"] == 120
+    assert by_type["request"] == 120
+    assert by_type["warcinfo"] == n_files
+    # the CDX never indexes non-response records → range path sees only
+    # responses even before the F4 filter
+    fetched = warc.fetch_warc_records(cdx)
+    assert fetched.filter(F.col("warc_type") != "response").count() == 0
