@@ -1,23 +1,39 @@
 """Similarity search over embedding columns (north-rule addition).
 
-Brute-force cosine top-k is the correctness baseline; the bucketed
-variant is the scale path (IVF-style: restrict the scan to the query's
-coarse cell — here the ``label`` column stands in for the quantizer cell,
-which at 100 TB becomes a partition column → partition pruning instead of
-a full scan).
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variants are the scale path: **computed random-hyperplane signatures**
+(sign of dot with K fixed seeded hyperplanes, packed into one BIGINT),
+banded for the near-dup pair join and multi-probed (Hamming-ball) for
+top-k. Everything is JVM-side Column arithmetic — no UDF anywhere.
+
+Scale design (10^10 vectors):
+- signatures are one narrow projection (K fused fold expressions per
+  row, whole-stage codegen);
+- the near-dup join shuffles on (band_id, band_key) — pair explosion is
+  bounded to band-bucket collisions, and ``cell_cap`` drops pathological
+  hot cells (a single hot bucket is otherwise an O(cell²) cartesian
+  bomb); at production scale set bits-per-band so cells stay ~10³-10⁴;
+- top-k probes the query's Hamming-≤r ball of buckets → the scan is a
+  signature filter (partition-prunable if the table is laid out by
+  signature prefix) instead of a full pass.
 
 Arithmetic: all dot products/norms in double via ``F.aggregate`` over
-``F.zip_with`` — sequential left-to-right fold, JVM-side, no UDF. Scores
-are rounded to 4 decimals before ranking so results are stable across
-summation orders and engines (the DuckDB oracle sums via unnest+SUM).
+``F.zip_with`` — sequential left-to-right fold, identical to the DuckDB
+oracle's ordered SUM over unnest; scores and plane dots go through
+``round4`` before any sign/threshold/rank decision so both engines make
+identical calls.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round4
+
+RH_SEED = 7
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -61,52 +77,147 @@ def cosine_topk(
     )
 
 
-def cosine_topk_bucketed(
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def random_hyperplanes(
+    n_planes: int = 8, dim: int = 64, seed: int = RH_SEED
+) -> list[list[float]]:
+    """K fixed Gaussian hyperplanes, seeded → identical on every run and
+    embeddable as literals in the DuckDB oracle SQL. Values rounded to
+    4 decimals so the literal parses to the same double everywhere."""
+    rnd = random.Random(seed)
+    return [
+        [round(rnd.gauss(0.0, 1.0), 4) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def rh_signature(
     df: DataFrame,
-    query_vec: list[float],
-    query_bucket,
-    k: int = 10,
-    id_col: str = "vec_id",
+    planes: list[list[float]],
     vec_col: str = "embedding",
-    bucket_col: str = "label",
+    out_col: str = "sig",
 ) -> DataFrame:
-    """IVF-style top-k: scan only the query's coarse cell. At scale the
-    bucket is a partition column → the filter prunes files, not rows."""
-    return cosine_topk(
-        df.filter(F.col(bucket_col) == query_bucket),
-        query_vec,
-        k,
-        id_col,
-        vec_col,
+    """Packed signature: bit p = (round4(v·w_p) >= 0). The dot is rounded
+    before the sign test so the bit decision is cross-engine identical."""
+    sig = F.lit(0).cast("long")
+    for p_idx, w in enumerate(planes):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        dot = round4(_dot(F.col(vec_col), wlit))
+        sig = sig + F.when(
+            dot >= 0, F.lit(1 << p_idx).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_id, band_key): band b's key = the b-th rows_per_band-bit
+    slice of the packed signature."""
+    mask = (1 << rows_per_band) - 1
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(structs).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
     )
 
 
 def neardup_pairs(
     df: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_col: str = "label",
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    cell_cap: int = 100_000,
 ) -> DataFrame:
-    """Embedding near-duplicates: same-bucket pairs with cosine ≥ t.
-    The bucket join bounds the pair explosion to O(Σ cell²) instead of
-    O(n²) — LSH-bucketed near-dup in the same shape the text MinHash
-    pipeline uses."""
-    left = df.select(
-        F.col(id_col).alias("a"),
-        F.col(bucket_col).alias("bucket"),
-        F.col(vec_col).alias("va"),
+    """Embedding near-duplicates via banded random-hyperplane LSH:
+    signature → band equi-join (cells over ``cell_cap`` rows dropped —
+    the hot-bucket guard) → exact cosine verify ≥ threshold.
+    Returns (a, b, cos) with a < b."""
+    if planes is None:
+        planes = random_hyperplanes(bands * rows_per_band)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = rh_signature(vecs, planes, vec_col="v").select("id", "sig")
+    banded = _banded(sigs, bands, rows_per_band)
+    kept_cells = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("cell_n"))
+        .filter(F.col("cell_n") <= cell_cap)
+        .select("band_id", "band_key")
     )
-    right = df.select(
-        F.col(id_col).alias("b"),
-        F.col(bucket_col).alias("bucket"),
-        F.col(vec_col).alias("vb"),
+    in_cells = banded.join(kept_cells, ["band_id", "band_key"])
+    left = in_cells.alias("l")
+    right = in_cells.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
     )
-    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
-    scored = pairs.select(
-        "a",
-        "b",
-        round4((_dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))))).alias("cos"),
+    va = vecs.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    scored = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            round4(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cos"),
+        )
     )
     return scored.filter(F.col("cos") >= threshold)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: scan only vectors whose signature lies in
+    the query's Hamming-≤``max_hamming`` ball (with 8 planes and r=2
+    that's 37 of 256 buckets ≈ 14% of a uniform corpus), then exact
+    cosine rank within the probed set.
+
+    The query's vector and signature are single-row driver-side lookups
+    (metadata, not data). At scale the signature filter sits on top of a
+    signature-prefix table layout → partition pruning, not a row scan."""
+    if planes is None:
+        planes = random_hyperplanes()
+    sigs = rh_signature(df, planes, vec_col=vec_col)
+    qrow = (
+        sigs.filter(F.col(id_col) == query_id)
+        .select(vec_col, "sig")
+        .collect()[0]
+    )
+    qvec, qsig = list(qrow[0]), qrow[1]
+    probed = sigs.filter(
+        F.expr(f"bit_count(sig ^ {qsig})") <= max_hamming
+    ).drop("sig")
+    return cosine_topk(probed, qvec, k, id_col, vec_col)

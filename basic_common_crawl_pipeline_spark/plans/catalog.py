@@ -740,19 +740,57 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, list(qvec), k=20)
 
 
+# random-hyperplane LSH shared by the bucketed ANN entries: the SAME
+# seeded planes are baked into the Spark plan (literals) and the DuckDB
+# oracle (VALUES list), so signatures are cross-engine identical
+_RH_PLANES = similarity.random_hyperplanes(8, 64)
+_RH_CELL_CAP = 100_000  # hot-bucket guard; no-op at test scale (pytest
+# exercises a small cap) — at 10^10 vectors set to ~10^4
+
+_SQL_PLANES = ", ".join(
+    f"({i}, [{', '.join(repr(float(x)) for x in w)}])"
+    for i, w in enumerate(_RH_PLANES)
+)
+
+_SQL_SIGS = f"""
+    planes AS (SELECT * FROM (VALUES {_SQL_PLANES}) p(plane_id, w)),
+    rh_dots AS (
+      SELECT e.vec_id, p.plane_id,
+             {_r4("sum(CAST(e.embedding[s.i] AS DOUBLE) * p.w[s.i])")} AS dot
+      FROM embeddings e
+      CROSS JOIN planes p
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id, p.plane_id
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0
+                           THEN CAST(power(2, plane_id) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM rh_dots GROUP BY vec_id
+    )
+"""
+
+
 @register(
     "ann_cosine_topk_bucketed",
     f"""
-    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 1),
+    WITH {_SQL_SIGS},
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 1),
+    qe AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+    probed AS (
+      SELECT s.vec_id FROM sigs s CROSS JOIN q
+      WHERE bit_count(xor(s.sig, q.qsig)) <= 2
+    ),
     d AS (
       SELECT e.vec_id,
-             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE)) AS dot,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE)) AS dot,
              sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
-             sqrt(sum(CAST(q.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE))) AS nq
+             sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE))) AS nq
       FROM embeddings e
-      CROSS JOIN q
+      JOIN probed USING (vec_id)
+      CROSS JOIN qe
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
-      WHERE e.label = q.label
       GROUP BY e.vec_id
     )
     SELECT vec_id, {_r4("dot / (ne * nq)")} AS cos
@@ -760,35 +798,58 @@ def ann_cosine_topk(spark, sf_dir):
     """,
 )
 def ann_cosine_topk_bucketed(spark, sf_dir):
-    """IVF-style bucketed top-10: scan only the query's coarse cell."""
+    """Multi-probe LSH top-10: scan only vectors whose random-hyperplane
+    signature is within Hamming distance 2 of the query's (37 of 256
+    buckets), exact cosine rank within the probed set."""
     emb = load(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 1).select("embedding", "label").collect()[0]
-    return similarity.cosine_topk_bucketed(
-        emb, list(row[0]), row[1], k=10
+    return similarity.cosine_topk_lsh(
+        emb, query_id=1, k=10, max_hamming=2, planes=_RH_PLANES
     )
 
 
 @register(
     "emb_neardup_pairs",
     f"""
-    WITH p AS (
-      SELECT a.vec_id AS a, b.vec_id AS b,
-             sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS dot,
-             sqrt(sum(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE))) AS na,
-             sqrt(sum(CAST(b.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE))) AS nb
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH {_SQL_SIGS},
+    banded AS (
+      SELECT vec_id, b.band_id, (sig >> (2 * b.band_id)) & 3 AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    cells AS (
+      SELECT band_id, band_key FROM banded
+      GROUP BY band_id, band_key HAVING count(*) <= {_RH_CELL_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM banded l
+      JOIN banded r ON l.band_id = r.band_id AND l.band_key = r.band_key
+                   AND l.vec_id < r.vec_id
+      JOIN cells c ON c.band_id = l.band_id AND c.band_key = l.band_key
+    ),
+    p AS (
+      SELECT c.a, c.b,
+             sum(CAST(ea.embedding[s.i] AS DOUBLE) * CAST(eb.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(ea.embedding[s.i] AS DOUBLE) * CAST(ea.embedding[s.i] AS DOUBLE))) AS na,
+             sqrt(sum(CAST(eb.embedding[s.i] AS DOUBLE) * CAST(eb.embedding[s.i] AS DOUBLE))) AS nb
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
-      GROUP BY a.vec_id, b.vec_id
+      GROUP BY c.a, c.b
     )
     SELECT a, b, {_r4("dot / (na * nb)")} AS cos
     FROM p WHERE {_r4("dot / (na * nb)")} >= 0.35
     """,
 )
 def emb_neardup_pairs(spark, sf_dir):
-    """Embedding near-dup: same-bucket (label) pairs with cosine ≥ 0.35."""
+    """Embedding near-dup via banded random-hyperplane LSH (4 bands × 2
+    bits, computed buckets — no pre-existing partition column), hot-cell
+    cap, exact cosine verify ≥ 0.35."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs(emb, threshold=0.35)
+    return similarity.neardup_pairs(
+        emb, threshold=0.35, planes=_RH_PLANES, bands=4, rows_per_band=2,
+        cell_cap=_RH_CELL_CAP,
+    )
 
 
 # ===========================================================================

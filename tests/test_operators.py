@@ -140,3 +140,93 @@ def test_streaming_queue_roundtrip(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 250
     assert sorted((r.id, r.v) for r in rows) == [(i, 2 * i) for i in range(250)]
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_lsh_neardup_recall_vs_brute_force(spark):
+    """Banded RH-LSH (4 bands x 2 bits) must recover most brute-force
+    pairs at the catalog threshold; every returned pair must be a true
+    pair (precision 1.0 — the exact-cosine verify guarantees it)."""
+    import numpy as np
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        neardup_pairs,
+        random_hyperplanes,
+    )
+
+    emb = _emb(spark)
+    planes = random_hyperplanes(8, 64)
+    got = {
+        (r["a"], r["b"])
+        for r in neardup_pairs(emb, threshold=0.35, planes=planes).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            # same round4 the engine applies before thresholding
+            if np.floor(C[i, j] * 10000 + 0.5) / 10000 >= 0.35:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b))
+    assert got <= want  # precision 1.0
+    recall = len(got) / len(want)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low ({len(got)}/{len(want)})"
+
+
+def test_lsh_cell_cap_drops_hot_buckets(spark):
+    """cell_cap=0 drops every cell -> no pairs; a generous cap is a
+    superset of a tight cap (monotone guard semantics)."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        neardup_pairs,
+        random_hyperplanes,
+    )
+
+    emb = _emb(spark).limit(120)
+    planes = random_hyperplanes(8, 64)
+    assert (
+        neardup_pairs(emb, threshold=0.35, planes=planes, cell_cap=0).count() == 0
+    )
+    tight = {
+        (r["a"], r["b"])
+        for r in neardup_pairs(
+            emb, threshold=0.35, planes=planes, cell_cap=10
+        ).collect()
+    }
+    loose = {
+        (r["a"], r["b"])
+        for r in neardup_pairs(
+            emb, threshold=0.35, planes=planes, cell_cap=100_000
+        ).collect()
+    }
+    assert tight <= loose
+
+
+def test_lsh_topk_probes_subset_and_ranks_query_first(spark):
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        cosine_topk_lsh,
+        random_hyperplanes,
+        rh_signature,
+    )
+
+    emb = _emb(spark)
+    planes = random_hyperplanes(8, 64)
+    top = cosine_topk_lsh(emb, query_id=1, k=10, max_hamming=2, planes=planes).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos"] == 1.0
+    # the probe really is a subset scan: hamming<=2 ball covers fewer
+    # vectors than the corpus
+    sigs = rh_signature(emb, planes)
+    qsig = sigs.filter(F.col("vec_id") == 1).collect()[0]["sig"]
+    probed = sigs.filter(F.expr(f"bit_count(sig ^ {qsig})") <= 2).count()
+    assert probed < emb.count()
