@@ -227,3 +227,67 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return sums.select("id", combined.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of each
+    other's SimHash — the actual dedup use of the signatures.
+
+    Banded Hamming-neighbor join: split the signature into ``chunks``
+    equal bit-slices and equi-join on (chunk_id, chunk_key). By
+    pigeonhole, two signatures at distance ≤ chunks-1 share at least one
+    identical chunk — so with max_hamming < chunks the banding is EXACT
+    (recall 1.0), not approximate. One shuffle on the chunk key; the
+    final bit_count(xor) verify is codegen'd JVM arithmetic."""
+    if max_hamming >= chunks:
+        raise ValueError("exactness needs max_hamming < chunks (pigeonhole)")
+    sh = simhash(df, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("chunk_key"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    banded = sh.select("id", F.explode(structs).alias("c")).select(
+        "id", "c.chunk_id", "c.chunk_key"
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.chunk_id") == F.col("r.chunk_id"),
+                F.col("l.chunk_key") == F.col("r.chunk_key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

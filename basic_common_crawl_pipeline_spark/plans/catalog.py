@@ -431,6 +431,139 @@ def f1_language_filter(spark, sf_dir):
 
 
 @register(
+    "f1_language_substring",
+    """
+    WITH rows AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderpriority < '2' THEN 'eng'
+                  WHEN o_orderpriority < '3' THEN 'ind,eng'
+                  WHEN o_orderpriority < '4' THEN 'eng-Latn'
+                  ELSE 'deu' END AS languages,
+             CASE WHEN o_orderstatus = 'O' THEN 200 ELSE 301 END AS status
+      FROM orders
+    )
+    SELECT id, languages FROM rows
+    WHERE languages IS NOT NULL
+      AND position('eng' in languages) > 0
+      AND status = 200
+    """,
+)
+def f1_language_substring(spark, sf_dir):
+    """F1 Rust/Python substring semantics (rust/src/bin/batcher.rs:88-94:
+    ``languages.contains(&language)`` on the RAW string) — diverges from
+    the Go token match on values like 'eng-Latn' (substring hit, token
+    miss), which this dataset includes; both reference behaviors are now
+    driver-pinned."""
+    from ..functions.cdx import eligible_filter
+
+    orders = load(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderpriority") < "2", "eng")
+        .when(F.col("o_orderpriority") < "3", "ind,eng")
+        .when(F.col("o_orderpriority") < "4", "eng-Latn")
+        .otherwise("deu")
+        .alias("languages"),
+        F.when(F.col("o_orderstatus") == "O", 200).otherwise(301).alias("status"),
+    )
+    return eligible_filter(
+        rows,
+        status_col="status",
+        languages_col="languages",
+        language="eng",
+        substring_semantics=True,
+    ).select("id", "languages")
+
+
+@register(
+    "batcher_slice",
+    """
+    WITH chunks AS (
+      SELECT l_orderkey * 10 + l_linenumber AS cluster_id,
+             printf('cdx-%05d.gz', l_partkey % 100) AS cdx_filename
+      FROM lineitem
+      ORDER BY cluster_id LIMIT 40
+    ),
+    lines AS (
+      SELECT c.cluster_id, c.cdx_filename, j.jj,
+             CASE WHEN (c.cluster_id + j.jj) % 3 = 0 THEN 301 ELSE 200 END AS status,
+             CASE j.jj WHEN 0 THEN 'eng' WHEN 1 THEN 'deu'
+                       ELSE 'ind,eng' END AS languages
+      FROM chunks c CROSS JOIN (SELECT unnest(range(0, 3)) AS jj) j
+    )
+    SELECT printf('com,site%d)/p/%d', cluster_id % 50, cluster_id * 10 + jj)
+             AS surt_url,
+           printf('https://site%d.example/p/%d', cluster_id % 50,
+                  cluster_id * 10 + jj) AS url,
+           CAST(status AS INTEGER) AS status,
+           languages, cdx_filename
+    FROM lines
+    WHERE status = 200
+      AND list_contains(
+            list_transform(string_split(languages, ','), t -> trim(t)), 'eng')
+    """,
+)
+def batcher_slice(spark, sf_dir):
+    """The reference batcher's end-to-end pipeline shape
+    (rust/src/bin/batcher.rs:54-107): S1 cluster.idx scan → P1 parse →
+    B2 first-N-chunks limit (--num-cdx-chunks-to-process,
+    rust/src/bin/batcher.rs:46-50) → per-chunk CDX lines → P2 parse →
+    F1-F3 eligibility. Chunk CDX contents are synthesized
+    deterministically from the chunk ids (the S2-range-read stand-in —
+    the physical byte path lives in warc_range_fetch)."""
+    from ..functions.cdx import eligible_filter
+
+    li = load(spark, sf_dir, "lineitem")
+    idx_lines = li.select(
+        F.format_string(
+            "com,host%d)/item/%d %s\tcdx-%05d.gz\t%d\t%d\t%d",
+            F.col("l_orderkey") % 50,
+            F.col("l_linenumber"),
+            F.date_format("l_shipdate", "yyyyMMddHHmmss"),
+            F.col("l_partkey") % 100,
+            F.col("l_orderkey") * 1000,
+            F.col("l_suppkey") + 180000,
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ).alias("line")
+    )
+    # S1 + P1: parse; B2: first N chunks in index order (TakeOrdered)
+    chunks = parse_cluster_idx(idx_lines).orderBy("cluster_id").limit(40)
+    cid = F.col("cluster_id")
+    jj = F.col("jj")
+    expanded = chunks.select(
+        "cluster_id", "cdx_filename",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("jj"),
+    )
+    meta = F.to_json(
+        F.struct(
+            F.format_string(
+                "https://site%d.example/p/%d", cid % 50, cid * 10 + jj
+            ).alias("url"),
+            F.when((cid + jj) % 3 == 0, "301").otherwise("200").alias("status"),
+            F.when(jj == 0, "eng").when(jj == 1, "deu").otherwise("ind,eng")
+            .alias("languages"),
+            F.col("cdx_filename").alias("filename"),
+        )
+    )
+    cdx_lines = expanded.select(
+        F.concat(
+            F.format_string(
+                "com,site%d)/p/%d %d ", cid % 50, cid * 10 + jj, cid
+            ),
+            meta,
+        ).alias("line")
+    )
+    parsed = parse_cdx_lines(cdx_lines)
+    return eligible_filter(parsed).select(
+        "surt_url",
+        F.col("metadata.url").alias("url"),
+        F.col("metadata.status").cast("int").alias("status"),
+        F.col("metadata.languages").alias("languages"),
+        F.col("metadata.filename").alias("cdx_filename"),
+    )
+
+
+@register(
     "t3_whitespace_norm",
     f"SELECT doc_id, {SQL_NORM} AS norm_text FROM documents",
 )
@@ -707,6 +840,37 @@ def dedup_simhash(spark, sf_dir):
     """SimHash (16-bit, bitwise token-hash majority) per document."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sh AS ({_simhash_oracle(16)}),
+    banded AS (
+      SELECT id, c.chunk_id, (simhash >> (4 * c.chunk_id)) & 15 AS chunk_key
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) c
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l
+      JOIN banded r ON l.chunk_id = r.chunk_id AND l.chunk_key = r.chunk_key
+                   AND l.id < r.id
+    )
+    SELECT c.a, c.b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sh sa ON sa.id = c.a
+    JOIN sh sb ON sb.id = c.b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-neighbor pairs (d ≤ 3) via the banded chunk join —
+    exact by pigeonhole (4 chunks > 3 = max distance)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", bits=16, chunks=4, max_hamming=3
+    )
 
 
 # ===========================================================================
@@ -1231,6 +1395,67 @@ def crawl_wave_flagship(spark, sf_dir):
         "wave", "canon_url", "host", "priority",
         F.length("text").cast("long").alias("text_len"),
     )
+
+
+@register(
+    "crawl_metrics",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    seeds AS (
+      SELECT doc_id,
+             'src' || (doc_id % 20) AS host,
+             'test,src' || (doc_id % 20) || ')/doc/' || doc_id AS surt,
+             (doc_id % 10 < 8 AND lang = 'en') AS eligible
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    elig AS (
+      SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host ORDER BY surt) AS rnk,
+             CASE WHEN host = 'src0' THEN 8 ELSE 16 END AS budget
+      FROM seeds WHERE eligible
+    ),
+    sel AS (SELECT doc_id FROM elig WHERE rnk <= budget),
+    disc AS (
+      SELECT CAST(coalesce(sum(len(list_distinct([
+               (s.doc_id + 1) % nn.n,
+               (s.doc_id * 13 + 7) % nn.n,
+               (s.doc_id * 31 + 3) % nn.n]))), 0) AS BIGINT) AS d
+      FROM sel s CROSS JOIN nn
+    )
+    SELECT CAST(0 AS INTEGER) AS wave,
+           (SELECT count(*) FROM seeds) AS candidates,
+           CAST(0 AS BIGINT) AS disallowed,
+           CAST(0 AS BIGINT) AS misses,
+           (SELECT count(*) FROM seeds)
+             - (SELECT count(*) FROM seeds WHERE eligible) AS ineligible,
+           (SELECT count(*) FROM sel) AS selected,
+           (SELECT count(*) FROM seeds WHERE eligible)
+             - (SELECT count(*) FROM sel) AS deferred,
+           (SELECT count(*) FROM sel) AS extracted,
+           CAST(0 AS BIGINT) AS extract_failures,
+           (SELECT d FROM disc) AS discovered
+    """,
+)
+def crawl_metrics(spark, sf_dir):
+    """S7/M1-M5: the per-wave metrics as a queryable snapshot TABLE — a
+    one-wave crawl over pages_from_documents commits its metrics parquet,
+    and the oracle re-derives every counter from the documents table
+    (seed rule doc_id%29, eligibility status/lang rules, per-host
+    politeness budget 16s/crawl_delay, 3-link dedup'd discovery)."""
+    import tempfile
+
+    from ..sources.snapshots import SnapshotStore
+    from .config import CrawlConfig
+    from .crawl import run_crawl
+
+    pages, seeds, robots = pages_from_documents(spark, sf_dir)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_metrics_"))
+    run_crawl(
+        spark, pages, seeds, robots,
+        config=CrawlConfig(wave_seconds=16.0, max_waves=1),
+        store=store,
+    )
+    return store.read_table(spark, "metrics")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
