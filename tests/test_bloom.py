@@ -61,3 +61,35 @@ def test_crawl_with_bloom_matches_oracle(spark, tmp_path):
     assert {r["canon_url"]: r["text"] for r in results} == oracle.extracted
     assert store.read_table(spark, "seen_bloom").count() == 8
     assert len(order) > 5
+
+
+def test_resume_with_changed_bloom_geometry_rebuilds(spark, tmp_path):
+    """Resuming with different bloom params must NOT reinterpret the
+    committed blobs (wrong geometry → false negatives → re-crawls);
+    the engine rebuilds the bloom from the exact seen table and the
+    resumed crawl equals the uninterrupted one."""
+    corpus = synth_corpus(n_pages=200, n_hosts=5, seed=11, n_seeds=8)
+    base = dict(wave_seconds=8.0, max_waves=3, salt_partitions=4, use_bloom=True)
+    cfg_a = CrawlConfig(**base, bloom_partitions=8, bloom_bits=1 << 18)
+    # uninterrupted run
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    full_store = SnapshotStore(str(tmp_path / "full"))
+    run_crawl(spark, pages, seeds, robots, cfg_a, store=full_store)
+    full = collect_outputs(spark, full_store)
+    # interrupted after 2 waves with geometry A, resumed with geometry B
+    part_store = SnapshotStore(str(tmp_path / "part"))
+    cfg_2 = CrawlConfig(**{**base, "max_waves": 2},
+                        bloom_partitions=8, bloom_bits=1 << 18)
+    run_crawl(spark, pages, seeds, robots, cfg_2, store=part_store)
+    cfg_b = CrawlConfig(**base, bloom_partitions=4, bloom_bits=1 << 16)
+    run_crawl(spark, pages, seeds, robots, cfg_b, store=part_store, resume=True)
+    resumed = collect_outputs(spark, part_store)
+    assert [(r["seq"], r["url"]) for r in resumed[0]] == [
+        (r["seq"], r["url"]) for r in full[0]
+    ]
+    assert resumed[2] == full[2]
+    # the manifest records the geometry that produced the current blobs
+    extra = part_store.read_manifest()["extra"]
+    assert extra["bloom_params"] == {
+        "partitions": 4, "m_bits": 1 << 16, "k": 7,
+    }

@@ -62,3 +62,34 @@ def test_crawl_invariant_to_partitioning(spark, tmp_path):
     }
     assert s3 == s17
     assert len(o3) > 10
+
+
+def test_auto_strategy_switch_matches_static_strategies(spark, tmp_path):
+    """broadcast_frontier='auto' with a threshold the growing frontier
+    crosses mid-crawl (wave 0 broadcasts, later waves shuffle) must still
+    produce identical output to both static strategies."""
+    corpus = synth_corpus(n_pages=150, n_hosts=4, seed=21, n_seeds=6)
+    outs = []
+    for flag, thresh in ((True, 0), ("auto", 10), (False, 0)):
+        cfg = CrawlConfig(
+            wave_seconds=8.0, max_waves=3, salt_partitions=3,
+            broadcast_frontier=flag, broadcast_threshold=thresh,
+        )
+        pages, seeds, robots = corpus_to_spark(spark, corpus)
+        store = SnapshotStore(str(tmp_path / f"auto_{flag}"))
+        state = run_crawl(spark, pages, seeds, robots, cfg, store=store)
+        outs.append((collect_outputs(spark, store), state.metrics))
+    (out_t, m_t), (out_auto, m_auto), (out_f, m_f) = outs
+    # the auto run really crossed the boundary: wave 0 frontier (6 seeds)
+    # <= 10 broadcasts, later waves (discovered links) exceed it
+    assert m_auto[0]["candidates"] <= 10
+    assert any(m["candidates"] > 10 for m in m_auto[1:])
+    for (o, r, s) in (out_auto, out_f):
+        assert [(x["seq"], x["url"]) for x in o] == [
+            (x["seq"], x["url"]) for x in out_t[0]
+        ]
+        assert s == out_t[2]
+        assert {x["canon_url"]: x["text"] for x in r} == {
+            x["canon_url"]: x["text"] for x in out_t[1]
+        }
+    assert m_t == m_auto == m_f
