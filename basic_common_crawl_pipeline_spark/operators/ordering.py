@@ -32,16 +32,24 @@ def with_global_seq(
     seq_col: str = "seq",
     start: int = 1,
     return_total: bool = False,
+    cache_sorted: list | None = None,
 ):
     """Add ``seq_col`` = global rank (start, start+1, …) in the total order
     of ``order_cols``. The key must be total (no ties) for determinism.
     ``return_total=True`` → (df, row_count): the count is a free byproduct
-    of the offsets pass, saving callers a separate count() job."""
+    of the offsets pass, saving callers a separate count() job.
+    ``cache_sorted``: pass a list to persist the sorted intermediate (the
+    offsets pass then materializes it, so consuming the output does NOT
+    re-run the global sort); the persisted handle is appended to the list
+    and the caller owns unpersisting it."""
     names = [f.name for f in df.schema.fields]
     # StructType.add mutates in place — build a fresh copy for the output.
     schema = StructType(list(df.schema.fields) + [StructField(seq_col, LongType())])
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     sorted_df = sorted_df.withColumn("__pid", F.spark_partition_id())
+    if cache_sorted is not None:
+        sorted_df = sorted_df.persist()
+        cache_sorted.append(sorted_df)
     counts = (
         sorted_df.groupBy("__pid").count().orderBy("__pid").collect()
     )

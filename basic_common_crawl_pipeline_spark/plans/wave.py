@@ -258,12 +258,15 @@ def run_wave(
     )
 
     # 6. crawl order: global sequence over the total ORDER_KEY (the
-    #    offsets pass doubles as the selected-count job)
+    #    offsets pass doubles as the selected-count job; the sorted pass
+    #    is cached so committing crawl_order doesn't re-run the sort)
+    seq_cache: list = []
     crawl_order, n_selected = with_global_seq(
         selected.withColumn("wave", F.lit(wave)),
         order_cols=["priority", "surt", "canon_url"],
         start=next_seq,
         return_total=True,
+        cache_sorted=seq_cache,
     )
     crawl_order = crawl_order.select(
         "seq", "wave", F.col("canon_url").alias("url"), "host", "priority"
@@ -323,18 +326,13 @@ def run_wave(
             "priority",
         )
     )
-    new_links = (
-        discovered.groupBy("canon_url")
-        .agg(
-            F.min("host").alias("host"),
-            F.min("surt").alias("surt"),
-            F.min("priority").cast("int").alias("priority"),
-        )
-        .join(new_seen, "canon_url", "left_anti")
-        .select("canon_url", "host", "surt", "priority")
-    )
+    # one groupBy, not two: anti-join the exploded links against seen
+    # first (all-or-nothing per canon_url, so min-priority is unchanged),
+    # then merge with deferred in a single min-aggregation — saves a full
+    # shuffle+agg stage per wave vs group→anti→union→group
     new_frontier = (
-        deferred.unionByName(new_links)
+        discovered.join(new_seen, "canon_url", "left_anti")
+        .unionByName(deferred)
         .groupBy("canon_url")
         .agg(
             F.min("host").alias("host"),
@@ -393,5 +391,5 @@ def run_wave(
         new_seen=new_seen,
         processed=processed,
         metrics=metrics,
-        cached=(cand, selected, extracted, processed),
+        cached=(cand, selected, extracted, processed, *seq_cache),
     )

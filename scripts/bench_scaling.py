@@ -1,15 +1,24 @@
 #!/usr/bin/env python3
 """Scaling-efficiency evidence (BASELINE.json: ≥0.8 from N to 4N).
 
-Runs bench.py as subprocesses at SPARK_GRAFT_CPUS ∈ {2, 8, 32} on the
-same input. The N→4N efficiency pair is local[2] → local[8]: a
-pure-Python multiprocessing probe (no Spark) shows this sandbox's
-aggregate CPU throughput itself stops scaling past ~8-16 workers
-(cgroup/bandwidth ceiling), so 8→32 measures the box, not the engine;
-2→8 sits in the hardware's linear region (ceiling ≈ 0.92). local[32]
-is reported as the absolute-throughput row. Writes BENCH.md.
+Runs bench.py as subprocesses at SPARK_GRAFT_CPUS ∈ {2, 4, 8, 16, 32} on
+the same input and reports BOTH N→4N pairs that fit under the box
+ceiling: local[2]→local[8] and local[4]→local[16]. A pure-Python
+multiprocessing probe (no Spark) measures the sandbox's own aggregate
+CPU scaling at the same worker counts — on this shared host per-core
+throughput degrades past ~8-16 workers (cgroup/bandwidth ceiling), so
+32-worker rows are absolute-throughput evidence, not efficiency
+evidence. Writes BENCH.md.
+
+The steady-state wave for the scaling pairs uses a larger corpus than
+the per-round default (SCALING_BIGWAVE_REPLICATE, default 300 ≈ 1.5M
+pages at sf0.1) so the wave's fixed per-stage scheduling latency (~4 s,
+measured) is amortized the way it would be on a real multi-minute
+cluster wave — same job, same input at every parallelism level.
 
 Usage: python3 scripts/bench_scaling.py [sf_dir]
+Run on an otherwise-idle box (CLAUDE.md): concurrent load pollutes
+timings.
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+LEVELS = (2, 4, 8, 16, 32)
 
 _PROBE_HTML = (
     "<html><body><h1>Doc</h1>"
@@ -43,11 +54,11 @@ def _probe_work(n: int) -> int:
 
 
 def hardware_ceiling() -> dict[int, float]:
-    """Aggregate pure-Python extraction rate at 2/8/32 processes — the
+    """Aggregate pure-Python extraction rate at each worker count — the
     machine's own scaling ceiling, Spark not involved. Warm the pool
     before timing and keep the best of 3 trials (least neighbor noise)."""
     rates = {}
-    for procs in (2, 8, 32):
+    for procs in LEVELS:
         per = 6000
         with mp.Pool(procs) as pool:
             pool.map(_probe_work, [200] * procs)  # warmup: imports, forks
@@ -65,6 +76,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BIGWAVE_REPLICATE=os.environ.get(
+            "SCALING_BIGWAVE_REPLICATE", "300"
+        ),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     )
     out = subprocess.run(
@@ -81,11 +95,15 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     hw = hardware_ceiling()
-    hw_eff = round((hw[8] / hw[2]) / 4, 3)
-    print(f"hardware ceiling (pure-python procs): {hw}  2→8 eff={hw_eff}", flush=True)
+    hw_pairs = {
+        "2→8": round((hw[8] / hw[2]) / 4, 3),
+        "4→16": round((hw[16] / hw[4]) / 4, 3),
+        "8→32": round((hw[32] / hw[8]) / 4, 3),
+    }
+    print(f"hardware ceiling (pure-python procs): {hw}  {hw_pairs}", flush=True)
 
     results = {}
-    for cpus in (2, 8, 32):
+    for cpus in LEVELS:
         print(f"running bench at local[{cpus}] ...", flush=True)
         results[cpus] = run_bench(cpus, sf_dir)
         print(json.dumps(results[cpus]), flush=True)
@@ -93,50 +111,50 @@ def main() -> None:
     def thr(c, key="frontier_urls_per_sec"):
         return results[c]["throughput"][key]
 
-    crawl_eff = round((thr(8) / thr(2)) / 4, 3)
-    big_eff = round(
-        (thr(8, "bigwave_urls_per_sec") / thr(2, "bigwave_urls_per_sec")) / 4, 3
-    )
-    ext_eff = round(
-        (thr(8, "extract_pages_per_sec") / thr(2, "extract_pages_per_sec")) / 4, 3
-    )
-    # hardware-normalized: engine scaling relative to what pure-CPU work
-    # achieves on the same box between the same core counts
-    crawl_eff_n = round(crawl_eff / hw_eff, 3)
-    big_eff_n = round(big_eff / hw_eff, 3)
-    ext_eff_n = round(ext_eff / hw_eff, 3)
-
+    metrics = [
+        ("frontier expansion, steady-state single large wave (URLs/sec) — headline",
+         "bigwave_urls_per_sec"),
+        ("frontier expansion, 3 small waves incl. per-wave driver latency (URLs/sec)",
+         "frontier_urls_per_sec"),
+        ("extraction stage only (pages/sec, Arrow-vectorized worker loop)",
+         "extract_pages_per_sec"),
+    ]
+    effs = {
+        k: {
+            "2→8": round((thr(8, k) / thr(2, k)) / 4, 3),
+            "4→16": round((thr(16, k) / thr(4, k)) / 4, 3),
+        }
+        for _, k in metrics
+    }
     rows = "\n".join(
-        f"| {m} | {thr(2, k)} | {thr(8, k)} | {thr(32, k)} | **{e}** | {en} |"
-        for m, k, e, en in [
-            ("frontier expansion, steady-state single large wave (URLs/sec) — headline",
-             "bigwave_urls_per_sec", big_eff, big_eff_n),
-            ("frontier expansion, 3 small waves incl. per-wave driver latency (URLs/sec)",
-             "frontier_urls_per_sec", crawl_eff, crawl_eff_n),
-            ("extraction stage only (pages/sec, Arrow-vectorized worker loop)",
-             "extract_pages_per_sec", ext_eff, ext_eff_n),
-        ]
+        f"| {m} | {thr(2, k)} | {thr(4, k)} | {thr(8, k)} | {thr(16, k)} | "
+        f"{thr(32, k)} | **{effs[k]['2→8']}** | **{effs[k]['4→16']}** |"
+        for m, k in metrics
     )
     r32 = results[32]["throughput"]
     report = f"""# BENCH — measured numbers (targets in BASELINE.md)
 
-Same job, same input ({sf_dir}), three parallelism levels. The N→4N
-efficiency column compares **local[2] → local[8]**: a Spark-free
-multiprocessing probe shows this sandbox's aggregate CPU throughput
-itself scales 2→8 at only {hw_eff} (and 8→32 at
-{round((hw[32] / hw[8]) / 4, 3)}) — a cgroup/bandwidth ceiling — so 2→8
-is the pair that measures the engine rather than the box. local[32] is
-the absolute-throughput configuration.
+Same job, same input ({sf_dir}), five parallelism levels. Two raw N→4N
+efficiency pairs are reported: **local[2]→local[8]** and
+**local[4]→local[16]**. The Spark-free multiprocessing probe below
+shows the sandbox's own aggregate CPU throughput scales
+2→8 at {hw_pairs["2→8"]}, 4→16 at {hw_pairs["4→16"]} and 8→32 at
+{hw_pairs["8→32"]} (shared-host cgroup/bandwidth ceiling), so 32-worker
+rows are absolute-throughput evidence; the steady-state wave uses a
+{os.environ.get("SCALING_BIGWAVE_REPLICATE", "300")}×-replicated corpus
+(~minutes per wave at local[2]) so fixed per-stage scheduling latency is
+amortized as it would be on a real cluster wave.
 
 hardware ceiling probe (pure-Python extraction, docs/sec):
 {json.dumps(hw)}
 
-| metric | local[2] | local[8] | local[32] | efficiency N→4N (2→8) | hw-normalized |
-|---|---|---|---|---|---|
+| metric | local[2] | local[4] | local[8] | local[16] | local[32] | eff 2→8 | eff 4→16 |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 - crawl job: 3 waves, {r32["crawl_urls"]} URLs selected+extracted out of a
-  {r32["corpus_pages"]}-page corpus (documents × replication, ~3 KB html each).
+  {r32["corpus_pages"]}-page corpus (documents × replication, ~3 KB html each);
+  steady-state wave corpus: {r32["bigwave_corpus_pages"]} pages.
 - single-node sequential baseline (the reference's execution model — one
   record at a time, same extractor): {r32["sequential_pages_per_sec"]} pages/sec;
   Spark local[32] extraction: {r32["extract_pages_per_sec"]} pages/sec
@@ -149,14 +167,12 @@ hardware ceiling probe (pure-Python extraction, docs/sec):
 Raw JSON:
 
 ```json
-{json.dumps(results[2])}
-{json.dumps(results[8])}
-{json.dumps(results[32])}
+{os.linesep.join(json.dumps(results[c]) for c in LEVELS)}
 ```
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(report)
-    print(f"\ncrawl efficiency (2→8): {crawl_eff}  extract efficiency: {ext_eff}")
+    print(f"\nefficiencies: {json.dumps(effs)}")
     print("wrote BENCH.md")
 
 
