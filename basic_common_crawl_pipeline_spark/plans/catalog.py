@@ -1076,12 +1076,14 @@ def stream_stateful_user_totals(spark, sf_dir):
 
     from pyspark.sql import Window
 
-    from ..streaming.queue_stream import publish_batches, run_stream_to_memory
+    from ..streaming.queue_stream import run_stream_to_memory
     from ..streaming.stateful import stateful_user_totals
 
     events = load(spark, sf_dir, "events")
     qdir = tempfile.mkdtemp(prefix="queue_events_")
-    publish_batches(events, qdir, batch_size=max(events.count() // 8, 1))
+    # queue the events as 8 files regardless of scale (no count job, no
+    # degenerate batch-size arithmetic at tiny inputs)
+    events.repartition(8).write.mode("overwrite").parquet(qdir)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 2)
