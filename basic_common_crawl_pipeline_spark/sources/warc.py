@@ -184,7 +184,10 @@ def iter_warc_file(path: str) -> Iterator[tuple[dict, bytes]]:
 # ---------------------------------------------------------------------------
 
 
-def _write_batches(out_dir: str):
+_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+
+
+def _write_batches(out_dir: str, with_status: bool):
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if len(batch) == 0:
@@ -195,6 +198,7 @@ def _write_batches(out_dir: str):
             rows: dict[str, list] = {
                 "url": [], "filename": [], "offset": [], "length": []
             }
+            statuses = batch["status"] if with_status else [200] * len(batch)
             with open(fname, "wb") as f:
                 off = f.write(
                     _gzip_member(
@@ -203,8 +207,14 @@ def _write_batches(out_dir: str):
                         )
                     )
                 )
-                for url, html in zip(batch["url"], batch["html"]):
+                for url, html, status in zip(
+                    batch["url"], batch["html"], statuses
+                ):
                     body = bytes(html)
+                    status = int(status)
+                    status_line = (
+                        f"HTTP/1.1 {status} {_REASONS.get(status, 'Status')}"
+                    )
                     # a request record the CDX never indexes — exercises
                     # the scan path's WARC-Type filter (F4)
                     off += f.write(
@@ -218,7 +228,8 @@ def _write_batches(out_dir: str):
                     )
                     member = _gzip_member(
                         build_warc_record(
-                            "response", url, build_http_response(body)
+                            "response", url,
+                            build_http_response(body, status_line),
                         )
                     )
                     rows["url"].append(url)
@@ -232,18 +243,32 @@ def _write_batches(out_dir: str):
 
 
 def write_warc_corpus(
-    spark: SparkSession, pages: DataFrame, out_dir: str
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    carry_cols: tuple[str, ...] = (),
+    status_col: str | None = None,
 ) -> DataFrame:
     """Write ``pages`` (url, html binary) as member-per-record .warc.gz
     files — one file per Arrow batch, written partition-parallel — and
-    return the CDX table (url, filename, offset, length). The CDX is
+    return the CDX table (url, filename, offset, length[, carry_cols]).
+    ``carry_cols`` are page metadata columns copied into the CDX rows,
+    like the real CDX's languages/status fields (joined back after the
+    write). ``status_col`` names a page column whose value becomes each
+    record's HTTP status line (default: every response 200 OK). The CDX is
     materialized as parquet under ``out_dir`` so the WARC files are
     written exactly once (re-running the returned plan re-reads parquet,
     never re-writes fixtures)."""
     os.makedirs(out_dir, exist_ok=True)
-    cdx_lazy = pages.select("url", "html").mapInPandas(
-        _write_batches(out_dir), schema=CDX_SCHEMA
+    cols = ["url", "html"] + ([F.col(status_col).alias("status")] if status_col else [])
+    cdx_lazy = pages.select(*cols).mapInPandas(
+        _write_batches(out_dir, with_status=status_col is not None),
+        schema=CDX_SCHEMA,
     )
+    if carry_cols:
+        cdx_lazy = cdx_lazy.join(
+            pages.select("url", *carry_cols), "url", "left"
+        )
     cdx_path = os.path.join(out_dir, "_cdx.parquet")
     cdx_lazy.write.mode("overwrite").parquet(cdx_path)
     return spark.read.parquet(cdx_path)
@@ -282,6 +307,73 @@ def fetch_warc_records(cdx: DataFrame) -> DataFrame:
     payload bytes)."""
     return cdx.select("url", "filename", "offset", "length").mapInPandas(
         _fetch_batches, schema=RECORD_SCHEMA
+    )
+
+
+_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Range fetch + record parse + response filter + header/body split in
+    ONE Arrow crossing — the whole physical chain per CDX row, yielding
+    pages-shaped rows keyed by the CDX url."""
+    for batch in batches:
+        out: dict[str, list] = {"url": [], "status": [], "html": []}
+        for fname, group in batch.groupby("filename", sort=False):
+            with open(fname, "rb") as f:
+                for url, off, length in zip(
+                    group["url"], group["offset"], group["length"]
+                ):
+                    f.seek(int(off))
+                    raw = gzip.decompress(f.read(int(length)))
+                    rec = parse_warc_record(raw)
+                    if rec is None:
+                        continue
+                    headers, block = rec
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    body = split_http_response(block)
+                    if body is None:
+                        continue
+                    parts = block.split(b"\r\n", 1)[0].split(b" ")
+                    try:
+                        status = int(parts[1])
+                    except (IndexError, ValueError):
+                        continue
+                    out["url"].append(url)
+                    out["status"].append(status)
+                    out["html"].append(body)
+        yield pd.DataFrame(out)
+
+
+def warc_pages(
+    cdx: DataFrame,
+    meta_cols: tuple[str, ...] = (),
+    warc_ts: str = "2024-07-22 12:00:00",
+) -> DataFrame:
+    """Reconstruct the engine's pages table from physical WARC files: the
+    CDX drives range fetches whose HTTP bodies become the ``html`` column;
+    ``meta_cols`` (e.g. lang) join back from the CDX rows — so a user can
+    point the crawl engine at .warc.gz + CDX instead of a pre-built
+    parquet table (the reference's actual inputs)."""
+    fetched = cdx.select("url", "filename", "offset", "length").mapInPandas(
+        _page_batches, schema=_PAGE_SCHEMA
+    )
+    if meta_cols:
+        fetched = fetched.join(cdx.select("url", *meta_cols), "url", "left")
+    return fetched.select(
+        "url",
+        F.lit(warc_ts).cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        *meta_cols,
+        "status",
     )
 
 

@@ -144,3 +144,42 @@ def test_scan_sees_non_response_records_and_filter_drops_them(spark, corpus):
     # responses even before the F4 filter
     fetched = warc.fetch_warc_records(cdx)
     assert fetched.filter(F.col("warc_type") != "response").count() == 0
+
+
+def test_crawl_over_warc_reconstructed_pages_matches_direct(spark, tmp_path):
+    """End-to-end physical-path integration: write the crawl corpus out
+    as .warc.gz + CDX, reconstruct the pages table by range-fetching the
+    records back (warc_pages), and run the SAME multi-wave crawl over
+    both — identical crawl order, seen set, and extracted bytes."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        pages_from_documents,
+    )
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.crawl import (
+        collect_outputs,
+        run_crawl,
+    )
+    from basic_common_crawl_pipeline_spark.sources.snapshots import SnapshotStore
+
+    pages, seeds, robots = pages_from_documents(spark, SF_SMALL)
+    out_dir = str(tmp_path / "warc")
+    cdx = warc.write_warc_corpus(
+        spark, pages.repartition(4), out_dir, carry_cols=("lang",),
+        status_col="status",
+    )
+    wpages = warc.warc_pages(cdx, meta_cols=("lang",))
+    cfg = CrawlConfig(wave_seconds=16.0, max_waves=2, salt_partitions=4)
+    outs = []
+    for name, p in (("direct", pages), ("warc", wpages)):
+        store = SnapshotStore(str(tmp_path / f"store_{name}"))
+        run_crawl(spark, p, seeds, robots, cfg, store=store)
+        outs.append(collect_outputs(spark, store))
+    (o_d, r_d, s_d), (o_w, r_w, s_w) = outs
+    assert [(r["seq"], r["url"]) for r in o_w] == [
+        (r["seq"], r["url"]) for r in o_d
+    ]
+    assert s_w == s_d
+    assert {r["canon_url"]: r["text"] for r in r_w} == {
+        r["canon_url"]: r["text"] for r in r_d
+    }
+    assert len(o_d) > 5
