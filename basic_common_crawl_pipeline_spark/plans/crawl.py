@@ -64,6 +64,33 @@ def metrics_table(spark: SparkSession, metrics: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, _METRICS_SCHEMA)
 
 
+def metrics_prometheus_text(metrics: list[dict], prefix: str = "crawl") -> str:
+    """Prometheus text exposition of the per-wave counters — the Spark
+    analog of the reference's scrape endpoints on :9000/:9001
+    (rust/src/tracing_and_metrics.rs:5-20, prometheus/scrape_configs.yml:
+    1-14; counter names mirror batcher_batches / worker_batches /
+    downloaded_bytes, python/batcher.py:20, rust/src/commoncrawl.rs:9-15).
+    Cumulative totals as counters plus per-wave gauge samples labeled by
+    wave; serve it from any HTTP handler or dump it per snapshot."""
+    lines: list[str] = []
+    cols = [
+        c.split()[0] for c in _METRICS_SCHEMA.split(", ")
+        if c.split()[0] != "wave"
+    ]
+    for c in cols:
+        total_name = f"{prefix}_{c}_total"
+        lines.append(f"# TYPE {total_name} counter")
+        lines.append(
+            f"{total_name} {sum(m.get(c) or 0 for m in metrics)}"
+        )
+        gauge_name = f"{prefix}_{c}"
+        lines.append(f"# TYPE {gauge_name} gauge")
+        for m in metrics:
+            if m.get(c) is not None:
+                lines.append(f'{gauge_name}{{wave="{m["wave"]}"}} {m[c]}')
+    return "\n".join(lines) + "\n"
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,

@@ -87,3 +87,55 @@ def test_no_rowbased_python_udf_anywhere():
         if "F.udf(" in src or "functions.udf(" in src:
             offenders.append(str(py))
     assert not offenders, offenders
+
+
+def test_warc_range_path_is_shuffle_free(spark, tmp_path):
+    """S2/S3 physical chain (cdx -> range fetch -> response filter ->
+    extract) is a narrow pipeline: no Exchange anywhere in the plan."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        _warc_fixture_pages,
+    )
+    from basic_common_crawl_pipeline_spark.sources import warc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    cdx = warc.write_warc_corpus(spark, _warc_fixture_pages(docs),
+                                 str(tmp_path / "wc"))
+    out = warc.extract_responses(warc.fetch_warc_records(cdx))
+    assert "Exchange" not in _plan(out)
+    assert out.count() == 50
+
+
+def test_batcher_slice_uses_take_ordered(spark):
+    from basic_common_crawl_pipeline_spark.plans.catalog import batcher_slice
+
+    assert "TakeOrderedAndProject" in _plan(batcher_slice(spark, SF))
+
+
+def test_lsh_signature_stays_jvm_side(spark):
+    """Random-hyperplane signatures and the banded near-dup join are pure
+    Column arithmetic: no Python evaluation node in the plan."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        emb_neardup_pairs,
+    )
+
+    plan = _plan(emb_neardup_pairs(spark, SF))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    # the pair join shuffles on the band key (bounded cells), as designed
+    assert "Exchange" in plan
+
+
+def test_prometheus_exposition_format():
+    from basic_common_crawl_pipeline_spark.plans.crawl import (
+        metrics_prometheus_text,
+    )
+
+    metrics = [
+        {"wave": 0, "selected": 5, "extracted": 4, "discovered": 12},
+        {"wave": 1, "selected": 3, "extracted": 3, "discovered": 7},
+    ]
+    text = metrics_prometheus_text(metrics)
+    assert "# TYPE crawl_selected_total counter" in text
+    assert "crawl_selected_total 8" in text
+    assert 'crawl_selected{wave="0"} 5' in text
+    assert 'crawl_discovered{wave="1"} 7' in text
+    assert text.endswith("\n")
