@@ -845,9 +845,9 @@ def dedup_simhash(spark, sf_dir):
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH sh AS ({_simhash_oracle(16)}),
+    WITH sh AS ({_simhash_oracle(32)}),
     banded AS (
-      SELECT id, c.chunk_id, (simhash >> (4 * c.chunk_id)) & 15 AS chunk_key
+      SELECT id, c.chunk_id, (simhash >> (8 * c.chunk_id)) & 255 AS chunk_key
       FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) c
     ),
     cand AS (
@@ -866,10 +866,14 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-neighbor pairs (d ≤ 3) via the banded chunk join —
-    exact by pigeonhole (4 chunks > 3 = max distance)."""
+    exact by pigeonhole (4 chunks > 3 = max distance). 32-bit signatures
+    in 8-bit chunks: at 16 bits nearly all same-vocabulary docs collide
+    (hd ≤ 3 covers most of the space); 32 bits make d ≤ 3 a genuine
+    near-duplicate signal AND shrink the candidate join's buckets
+    (256-way per chunk)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(
-        docs, "doc_id", "text", bits=16, chunks=4, max_hamming=3
+        docs, "doc_id", "text", bits=32, chunks=4, max_hamming=3
     )
 
 

@@ -175,10 +175,15 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "ann_cosine_topk",
+        "ann_cosine_topk_bucketed",
         "emb_neardup_pairs",
         "text_quality",
         "stream_windowed_events",
+        "warc_ingest",
+        "warc_range_fetch",
+        "batcher_slice",
     ):
         timed(name, lambda n=name: q[n](spark, sf_dir).count())
 
