@@ -192,37 +192,24 @@ def run_crawl(
         )
 
         if store is not None:
-            prev_order = (
-                store.read_table(spark, "crawl_order")
-                if state.wave > 0 and store.current_snapshot() is not None
-                else None
-            )
-            prev_results = (
-                store.read_table(spark, "results")
-                if state.wave > 0 and store.current_snapshot() is not None
-                else None
-            )
-            order_all = (
-                prev_order.unionByName(out.crawl_order)
-                if prev_order is not None
-                else out.crawl_order
-            )
-            results_all = (
-                prev_results.unionByName(out.results)
-                if prev_results is not None
-                else out.results
-            )
             tables = {
                 "frontier": out.new_frontier,
-                "seen": out.new_seen,
-                "crawl_order": order_all,
-                "results": results_all,
                 # S7: metrics as a queryable snapshot table, not only
                 # manifest JSON
                 "metrics": metrics_table(spark, state.metrics),
             }
             if new_bloom is not None:
                 tables["seen_bloom"] = new_bloom
+            # seen/crawl_order/results grow monotonically: commit only
+            # this wave's delta (Iceberg-append semantics) — a cumulative
+            # rewrite would cost O(total²) I/O over a long crawl. seen's
+            # delta is exactly `processed` (wave step 8: new_seen = seen
+            # ∪ processed, disjoint by construction).
+            append_tables = {
+                "seen": out.processed,
+                "crawl_order": out.crawl_order,
+                "results": out.results,
+            }
             extra = {
                 "next_wave": state.wave + 1,
                 "next_seq": next_seq,
@@ -239,6 +226,7 @@ def run_crawl(
                 snapshot=state.wave + 1,
                 tables=tables,
                 extra=extra,
+                append_tables=append_tables,
             )
             # lineage truncation: reload committed state
             state.frontier = store.read_table(spark, "frontier")

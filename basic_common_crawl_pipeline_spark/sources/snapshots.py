@@ -47,13 +47,35 @@ class SnapshotStore:
         snapshot: int,
         tables: dict[str, DataFrame],
         extra: dict | None = None,
+        append_tables: dict[str, DataFrame] | None = None,
     ) -> dict:
-        """Write all tables for ``snapshot`` and atomically flip CURRENT."""
+        """Write all tables for ``snapshot`` and atomically flip CURRENT.
+
+        ``tables`` are full replacements (frontier/seen change shape every
+        wave). ``append_tables`` are Iceberg-append semantics: only THIS
+        snapshot's delta is written; the manifest records the accumulated
+        path list, so grow-only tables (crawl_order, results) cost
+        O(delta) I/O per commit instead of a cumulative rewrite —
+        O(total²) over a long crawl otherwise. Re-running a crashed wave
+        overwrites the same snap-N delta path and rebuilds the path list
+        from the last committed manifest, so replay stays idempotent."""
         manifest: dict = {"snapshot": snapshot, "tables": {}, "extra": extra or {}}
         for name, df in tables.items():
             path = os.path.join(self.root, name, f"snap-{snapshot}")
             df.write.mode("overwrite").parquet(path)
             manifest["tables"][name] = {"path": path}
+        prev = self.read_manifest() if self.current_snapshot() is not None else None
+        for name, df in (append_tables or {}).items():
+            path = os.path.join(self.root, name, f"snap-{snapshot}")
+            df.write.mode("overwrite").parquet(path)
+            prev_entry = (prev or {"tables": {}})["tables"].get(name, {})
+            # legacy full-table entries ({"path": ...}) hold the complete
+            # cumulative table — carry that path as the base of the list
+            prev_paths = prev_entry.get("paths") or (
+                [prev_entry["path"]] if "path" in prev_entry else []
+            )
+            paths = [p for p in prev_paths if p != path] + [path]
+            manifest["tables"][name] = {"paths": paths}
         manifest_path = os.path.join(self.root, f"manifest-{snapshot}.json")
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
@@ -76,4 +98,7 @@ class SnapshotStore:
         manifest = self.read_manifest(snapshot)
         if manifest is None or name not in manifest["tables"]:
             raise FileNotFoundError(f"no snapshot table {name!r} in {self.root}")
-        return spark.read.parquet(manifest["tables"][name]["path"])
+        entry = manifest["tables"][name]
+        if "paths" in entry:  # append-table: union of all committed deltas
+            return spark.read.parquet(*entry["paths"])
+        return spark.read.parquet(entry["path"])
