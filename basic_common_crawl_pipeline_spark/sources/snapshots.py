@@ -102,3 +102,25 @@ class SnapshotStore:
         if "paths" in entry:  # append-table: union of all committed deltas
             return spark.read.parquet(*entry["paths"])
         return spark.read.parquet(entry["path"])
+
+    def compact(self, spark: SparkSession, name: str) -> None:
+        """Rewrite an append-table's delta chain as one base path (the
+        Iceberg rewrite-data-files maintenance action). Long crawls call
+        this every ~100 waves so read_table doesn't union thousands of
+        small deltas. The rewrite lands next to the deltas and the
+        manifest/CURRENT flip stays the single atomic commit point; a
+        crash mid-compaction leaves the old manifest (and old paths)
+        fully intact."""
+        snap = self.current_snapshot()
+        manifest = self.read_manifest(snap)
+        entry = manifest["tables"].get(name, {})
+        if "paths" not in entry or len(entry["paths"]) <= 1:
+            return
+        base = os.path.join(self.root, name, f"compact-{snap}")
+        spark.read.parquet(*entry["paths"]).write.mode("overwrite").parquet(base)
+        manifest["tables"][name] = {"paths": [base]}
+        manifest_path = os.path.join(self.root, f"manifest-{snap}.json")
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, manifest_path)

@@ -59,3 +59,33 @@ def test_replayed_wave_does_not_duplicate_append_paths(spark, tmp_path):
     order = store.read_table(spark, "crawl_order")
     seqs = [r["seq"] for r in order.orderBy("seq").collect()]
     assert seqs == list(range(1, len(seqs) + 1))  # no duplicate slots
+
+
+def test_compaction_rewrites_delta_chain(spark, tmp_path):
+    corpus = synth_corpus(n_pages=150, n_hosts=4, seed=3, n_seeds=6)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    run_crawl(
+        spark, pages, seeds, robots,
+        CrawlConfig(wave_seconds=8.0, max_waves=3, salt_partitions=3),
+        store=store,
+    )
+    before = {
+        r["seq"]: r["url"]
+        for r in store.read_table(spark, "crawl_order").collect()
+    }
+    store.compact(spark, "crawl_order")
+    manifest = store.read_manifest()
+    assert len(manifest["tables"]["crawl_order"]["paths"]) == 1
+    after = {
+        r["seq"]: r["url"]
+        for r in store.read_table(spark, "crawl_order").collect()
+    }
+    assert after == before
+    # resuming after compaction still works (frontier drained -> no-op run)
+    state = run_crawl(
+        spark, pages, seeds, robots,
+        CrawlConfig(wave_seconds=8.0, max_waves=3, salt_partitions=3),
+        store=store, resume=True,
+    )
+    assert state.wave == 3
