@@ -1138,6 +1138,89 @@ def sql_revenue_by_segment(spark, sf_dir):
     )
 
 
+def _media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → media table: kind rotates by doc_id, payload = the
+    text's utf-8 bytes (pure-ASCII in the testdata, so DuckDB VARCHAR
+    substring/md5 mirror byte slicing exactly)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             text, sha256(text) AS dig, length(text) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT media_id, kind, text, n,
+             16 + ('0x' || substr(dig, 1, 2))::INT % 240 AS w,
+             16 + ('0x' || substr(dig, 3, 2))::INT % 240 AS h
+      FROM m
+    )
+    SELECT media_id, kind,
+           CAST(w AS INTEGER) AS src_width,
+           CAST(h AS INTEGER) AS src_height,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(least(n, greatest(1, (n * 1024) // (w * h))) AS BIGINT)
+             AS n_bytes,
+           md5(substring(text, 1,
+               CAST(greatest(1, (n * 1024) // (w * h)) AS INT))) AS resized_md5
+    FROM g
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: decode (stubbed, dims from sha256) →
+    proportional-byte-prefix resize to 32×32 in one Arrow crossing; the
+    oracle reproduces the integer-ratio arithmetic and the resized
+    bytes' md5 (payload is ASCII text, so VARCHAR substring == byte
+    slice). A real Pillow resize swaps in behind the same signature."""
+    from ..operators.multimodal import resize_media
+
+    media = _media_from_documents(load(spark, sf_dir, "documents"))
+    return resize_media(media, 32, 32)
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, text, length(text) AS L
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, CAST(i.i AS INTEGER) AS frame_idx, text,
+             (i.i * L) // 8 AS a, ((i.i + 1) * L) // 8 AS b
+      FROM v CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) i
+    )
+    SELECT media_id, frame_idx,
+           CAST(b - a AS BIGINT) AS n_bytes,
+           md5(substring(text, CAST(a + 1 AS INT), CAST(b - a AS INT)))
+             AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: every 2nd of 8 contiguous byte-slice
+    'frames' per video payload, emitted as separate rows (row-expanding
+    mapInPandas — the shape a real ffmpeg keyframe extractor needs)."""
+    from ..operators.multimodal import sample_frames
+
+    media = _media_from_documents(load(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=8, every=2)
+
+
 @register(
     "multimodal_features",
     """
@@ -1168,15 +1251,7 @@ def multimodal_features(spark, sf_dir):
     DuckDB oracle (real decoders swap in behind the same signature)."""
     from ..operators.multimodal import extract_media_features
 
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
+    media = _media_from_documents(load(spark, sf_dir, "documents"))
     feats = extract_media_features(media)
     return feats.select(
         "media_id", "kind", "n_bytes", "width", "height",
