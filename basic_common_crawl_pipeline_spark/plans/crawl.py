@@ -236,9 +236,19 @@ def run_crawl(
         else:
             # no store → truncate lineage in memory: without this the plan
             # tree compounds every wave and the driver dies generating
-            # explain strings long before the data is big
-            state.frontier = out.new_frontier.localCheckpoint(eager=True)
-            state.seen = out.new_seen.localCheckpoint(eager=True)
+            # explain strings long before the data is big. frontier and
+            # seen checkpoint as ONE tagged union (one job per wave, not
+            # two — both recompute the same persisted wave intermediates).
+            from pyspark.sql import functions as F
+
+            tagged = out.new_frontier.withColumn("__t", F.lit("f")).unionByName(
+                out.new_seen.withColumn("__t", F.lit("s")),
+                allowMissingColumns=True,
+            ).localCheckpoint(eager=True)
+            state.frontier = tagged.filter(F.col("__t") == "f").select(
+                "canon_url", "host", "surt", "priority"
+            )
+            state.seen = tagged.filter(F.col("__t") == "s").select("canon_url")
             if new_bloom is not None:
                 state.seen_bloom = new_bloom.localCheckpoint(eager=True)
         # state is committed/checkpointed — release the wave's caches so a

@@ -60,14 +60,15 @@ class SnapshotStore:
         overwrites the same snap-N delta path and rebuilds the path list
         from the last committed manifest, so replay stays idempotent."""
         manifest: dict = {"snapshot": snapshot, "tables": {}, "extra": extra or {}}
+        prev = self.read_manifest() if self.current_snapshot() is not None else None
+        writes: list[tuple[str, DataFrame, str]] = []
         for name, df in tables.items():
             path = os.path.join(self.root, name, f"snap-{snapshot}")
-            df.write.mode("overwrite").parquet(path)
+            writes.append((name, df, path))
             manifest["tables"][name] = {"path": path}
-        prev = self.read_manifest() if self.current_snapshot() is not None else None
         for name, df in (append_tables or {}).items():
             path = os.path.join(self.root, name, f"snap-{snapshot}")
-            df.write.mode("overwrite").parquet(path)
+            writes.append((name, df, path))
             prev_entry = (prev or {"tables": {}})["tables"].get(name, {})
             # legacy full-table entries ({"path": ...}) hold the complete
             # cumulative table — carry that path as the base of the list
@@ -76,6 +77,18 @@ class SnapshotStore:
             )
             paths = [p for p in prev_paths if p != path] + [path]
             manifest["tables"][name] = {"paths": paths}
+        # the table writes are independent Spark jobs: submit them from
+        # threads so the scheduler overlaps them (per-wave commit latency
+        # = slowest write, not the sum); CURRENT flips only after ALL
+        # writes returned, so atomicity is unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(job):
+            _name, df, path = job
+            df.write.mode("overwrite").parquet(path)
+
+        with ThreadPoolExecutor(max_workers=min(4, max(len(writes), 1))) as ex:
+            list(ex.map(_write, writes))
         manifest_path = os.path.join(self.root, f"manifest-{snapshot}.json")
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)

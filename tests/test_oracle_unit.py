@@ -92,3 +92,14 @@ def test_miss_and_ineligible_marked_seen():
     assert result.seen == {
         "http://h.test/de", "http://h.test/404", "http://h.test/ghost"
     }
+
+
+def test_frontier_from_seeds_null_priority_defaults_to_zero(spark):
+    from basic_common_crawl_pipeline_spark.plans.wave import frontier_from_seeds
+
+    seeds = spark.createDataFrame(
+        [("http://a.test/x", None), ("http://b.test/y", 2)],
+        "url string, priority int",
+    )
+    rows = {r["canon_url"]: r["priority"] for r in frontier_from_seeds(seeds).collect()}
+    assert rows == {"http://a.test/x": 0, "http://b.test/y": 2}
