@@ -1496,6 +1496,26 @@ def crawl_wave_flagship(spark, sf_dir):
       FROM seeds WHERE eligible
     ),
     sel AS (SELECT doc_id FROM elig WHERE rnk <= budget),
+    hb AS (
+      SELECT d.doc_id,
+             CAST(length(
+               '<html><head><title>doc</title></head><body><h1>Doc '
+               || d.doc_id || '</h1>' || '<p>section 0 ' || d.text || '</p>' || '<p>section 1 ' || d.text || '</p>' || '<p>section 2 ' || d.text || '</p>' || '<p>section 3 ' || d.text || '</p>' || '<p>section 4 ' || d.text || '</p>' || '<p>section 5 ' || d.text || '</p>' || '<p>section 6 ' || d.text || '</p>' || '<p>section 7 ' || d.text || '</p>'
+               || '<p><a href="'
+               || printf('http://src%d.test/doc/%d',
+                         ((d.doc_id + 1) % nn.n) % 20, (d.doc_id + 1) % nn.n)
+               || '">n1</a> <a href="'
+               || printf('http://src%d.test/doc/%d',
+                         ((d.doc_id * 13 + 7) % nn.n) % 20,
+                         (d.doc_id * 13 + 7) % nn.n)
+               || '">n2</a> <a href="'
+               || printf('http://src%d.test/doc/%d',
+                         ((d.doc_id * 31 + 3) % nn.n) % 20,
+                         (d.doc_id * 31 + 3) % nn.n)
+               || '">n3</a></p><script>var x=1;</script></body></html>'
+             ) AS BIGINT) AS hb
+      FROM documents d CROSS JOIN nn
+    ),
     disc AS (
       SELECT CAST(coalesce(sum(len(list_distinct([
                (s.doc_id + 1) % nn.n,
@@ -1514,7 +1534,9 @@ def crawl_wave_flagship(spark, sf_dir):
              - (SELECT count(*) FROM sel) AS deferred,
            (SELECT count(*) FROM sel) AS extracted,
            CAST(0 AS BIGINT) AS extract_failures,
-           (SELECT d FROM disc) AS discovered
+           (SELECT d FROM disc) AS discovered,
+           (SELECT CAST(coalesce(sum(hb.hb), 0) AS BIGINT)
+            FROM sel JOIN hb ON hb.doc_id = sel.doc_id) AS fetched_bytes
     """,
 )
 def crawl_metrics(spark, sf_dir):

@@ -50,7 +50,7 @@ def _bloom_from_store(spark, store, bloom, manifest):
 _METRICS_SCHEMA = (
     "wave int, candidates long, disallowed long, misses long, "
     "ineligible long, selected long, deferred long, extracted long, "
-    "extract_failures long, discovered long"
+    "extract_failures long, discovered long, fetched_bytes long"
 )
 
 

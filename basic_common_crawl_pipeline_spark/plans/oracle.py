@@ -99,10 +99,16 @@ def run_oracle(
         selected.sort()
         extracted_count = 0
         extract_failures = 0
+        fetched_bytes = 0
         discovered: list[tuple[str, int]] = []
         for prio, _surt_key, url in selected:
             page = pages_by_url[url]
             seq += 1
+            html = page["html"]
+            fetched_bytes += (
+                len(html) if isinstance(html, (bytes, bytearray))
+                else len(html.encode("utf-8")) if html is not None else 0
+            )
             text = extract_text(page["html"])
             result.crawl_order.append(
                 {
@@ -156,6 +162,7 @@ def run_oracle(
                 "extracted": extracted_count,
                 "extract_failures": extract_failures,
                 "discovered": len(discovered),
+                "fetched_bytes": fetched_bytes,
                 "frontier_size": len(frontier),
             }
         )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -57,6 +58,9 @@ _EXTRACT_SCHEMA = StructType(
         StructField("canon_url", StringType()),
         StructField("text", StringType()),
         StructField("links", ArrayType(_LINK_STRUCT)),
+        # bytes fetched per page (M1 downloaded_bytes analog,
+        # rust/src/commoncrawl.rs:9-15,55) — costs nothing to carry here
+        StructField("html_bytes", LongType()),
     ]
 )
 
@@ -68,7 +72,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     host/surt are computed here rather than in a second pandas stage —
     one Arrow crossing instead of two."""
     for batch in batches:
-        texts, links = [], []
+        texts, links, nbytes = [], [], []
         for url, html in zip(batch["canon_url"], batch["html"]):
             texts.append(extract_text(html))
             links.append(
@@ -77,8 +81,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     for l in extract_links(html, url)
                 ]
             )
+            nbytes.append(len(html) if html is not None else 0)
         yield pd.DataFrame(
-            {"canon_url": batch["canon_url"], "text": texts, "links": links}
+            {
+                "canon_url": batch["canon_url"],
+                "text": texts,
+                "links": links,
+                "html_bytes": nbytes,
+            }
         )
 
 
@@ -349,22 +359,29 @@ def run_wave(
         # the persisted-but-evictable cand/extracted caches. The union is
         # column-pruned to the constant tag, so the only real work is one
         # pass over the two caches.
+        one = F.lit(1).cast("long")
         tags = (
-            cand.select(F.col("__class").alias("k"))
+            cand.select(F.col("__class").alias("k"), one.alias("w"))
             .unionByName(
                 extracted.filter(F.col("text").isNotNull()).select(
-                    F.lit("extracted").alias("k")
+                    F.lit("extracted").alias("k"), one.alias("w")
                 )
             )
             .unionByName(
                 extracted.select(F.explode("links").alias("l")).select(
-                    F.lit("discovered").alias("k")
+                    F.lit("discovered").alias("k"), one.alias("w")
+                )
+            )
+            .unionByName(
+                extracted.select(
+                    F.lit("fetched_bytes").alias("k"),
+                    F.col("html_bytes").alias("w"),
                 )
             )
         )
         counts = {
             r["k"]: r["n"]
-            for r in tags.groupBy("k").agg(F.count("*").alias("n")).collect()
+            for r in tags.groupBy("k").agg(F.sum("w").alias("n")).collect()
         }
         n_extracted = counts.get("extracted", 0)
         metrics = {
@@ -381,6 +398,7 @@ def run_wave(
             "extracted": n_extracted,
             "extract_failures": n_selected - n_extracted,
             "discovered": counts.get("discovered", 0),
+            "fetched_bytes": counts.get("fetched_bytes", 0),
         }
     else:
         metrics = {"wave": wave, "selected": n_selected}
