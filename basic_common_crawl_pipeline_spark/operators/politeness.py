@@ -29,20 +29,26 @@ def select_per_host_topk(
     salt_partitions: int = 8,
 ) -> DataFrame:
     """Filter ``eligible`` to the per-host top-``budget`` rows by
-    ``order_cols``. ``budget_col`` may vary per row (it is host-constant)."""
+    ``order_cols``. ``budget_col`` may vary per row (it is host-constant).
+
+    ``salt_partitions <= 1`` skips phase 1 entirely (one shuffle+sort
+    stage less) — the right physical choice for small waves where no
+    host can be a hot key; top-k is distributive, so both shapes return
+    the identical set (asserted in tests)."""
     order = [F.col(c).asc() for c in order_cols]
-    salted = eligible.withColumn(
-        "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_partitions))
-    )
-    w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
-    phase1 = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= F.col(budget_col))
-        .drop("__r1", "__salt")
-    )
+    if salt_partitions > 1:
+        salted = eligible.withColumn(
+            "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_partitions))
+        )
+        w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+        eligible = (
+            salted.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= F.col(budget_col))
+            .drop("__r1", "__salt")
+        )
     w2 = Window.partitionBy(host_col).orderBy(*order)
     return (
-        phase1.withColumn("__r2", F.row_number().over(w2))
+        eligible.withColumn("__r2", F.row_number().over(w2))
         .filter(F.col("__r2") <= F.col(budget_col))
         .drop("__r2")
     )

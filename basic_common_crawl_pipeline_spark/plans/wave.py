@@ -258,9 +258,14 @@ def run_wave(
         "budget",
         F.greatest(F.lit(1), F.floor(F.lit(config.wave_seconds) / F.col("__delay"))),
     )
+    # small waves skip the salt phase (one shuffle+sort stage less): the
+    # salting exists to break mega-host hot keys, which a wave under the
+    # broadcast threshold cannot contain. Identical output either way
+    # (top-k is distributive; asserted by the politeness tests).
+    salt = 1 if use_broadcast else config.salt_partitions
     selected = select_per_host_topk(
         eligible,
-        salt_partitions=config.salt_partitions,
+        salt_partitions=salt,
     ).select("canon_url", "host", "surt", "priority").persist()
     deferred = (
         eligible.join(selected.select("canon_url"), "canon_url", "left_anti")

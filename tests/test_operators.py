@@ -230,3 +230,29 @@ def test_lsh_topk_probes_subset_and_ranks_query_first(spark):
     qsig = sigs.filter(F.col("vec_id") == 1).collect()[0]["sig"]
     probed = sigs.filter(F.expr(f"bit_count(sig ^ {qsig})") <= 2).count()
     assert probed < emb.count()
+
+
+def test_politeness_unsalted_equals_salted(spark):
+    """salt_partitions<=1 (the small-wave fast path) returns the exact
+    same per-host top-k as the salted two-phase shape."""
+    from basic_common_crawl_pipeline_spark.operators.politeness import (
+        select_per_host_topk,
+    )
+
+    rows = [
+        (f"http://h{i % 5}.test/p{i}", f"h{i % 5}.test",
+         f"test,h{i % 5})/p{i}", i % 3, 2 + i % 4)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "canon_url string, host string, surt string, priority int, budget int"
+    )
+    salted = {
+        r["canon_url"]
+        for r in select_per_host_topk(df, salt_partitions=8).collect()
+    }
+    plain = {
+        r["canon_url"]
+        for r in select_per_host_topk(df, salt_partitions=1).collect()
+    }
+    assert salted == plain and len(plain) > 0
