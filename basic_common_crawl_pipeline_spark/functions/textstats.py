@@ -117,6 +117,45 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
+# Rabin-Karp rolling fingerprint: window polynomial hash with base 257
+# mod (2^31 - 1). k=7 keeps the raw polynomial sum < 2^63 (127·257^6·7/127
+# ≈ 3.7e16), so ONE mod at the end suffices — exact int64 arithmetic in
+# both engines, no sequential fold needed.
+RK_K = 7
+RK_BASE = 257
+RK_MOD = 2_147_483_647
+_RK_POWERS = [RK_BASE ** (RK_K - 1 - j) for j in range(RK_K)]
+
+
+def rolling_hashes(text: Column | str, k: int = RK_K) -> Column:
+    """Array of Rabin-Karp window hashes over the normalized text's
+    characters (ASCII corpora: char == byte). Empty array for texts
+    shorter than the window."""
+    s = norm_text(text)
+    starts = F.when(
+        F.length(s) >= k, F.sequence(F.lit(1), F.length(s) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def window_hash(i):
+        total = F.lit(0).cast("long")
+        for j in range(k):
+            total = total + (
+                F.ascii(F.substring(s, i + j, 1)).cast("long")
+                * F.lit(_RK_POWERS[j]).cast("long")
+            )
+        return total % F.lit(RK_MOD).cast("long")
+
+    return F.transform(starts, window_hash)
+
+
+def rolling_fingerprint(text: Column | str, k: int = RK_K) -> Column:
+    """Winnowing-style rolling-hash document fingerprint: the min window
+    hash (-1 for texts shorter than one window)."""
+    return F.coalesce(
+        F.array_min(rolling_hashes(text, k)), F.lit(-1).cast("long")
+    )
+
+
 def doc_fingerprint(text: Column | str, n: int = 4) -> Column:
     """Winnowing-style document fingerprint: min md5 over word n-grams
     (falls back to md5 of the whole normalized text for short docs)."""

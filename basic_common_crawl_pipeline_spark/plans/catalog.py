@@ -693,6 +693,44 @@ def text_fingerprint(spark, sf_dir):
 # ===========================================================================
 
 
+_RK_TERMS = " + ".join(
+    f"ascii(substr(s, CAST(i.i + {j} AS INT), 1)) * CAST({257 ** (6 - j)} AS BIGINT)"
+    for j in range(7)
+)
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT t.doc_id,
+             ({_RK_TERMS}) % 2147483647 AS wh
+      FROM t
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(length(t.s) - 6, 0) + 1)) AS i
+      ) i
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(min(h.wh), -1) AS BIGINT) AS fingerprint
+    FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint: min polynomial window hash
+    (base 257, mod 2^31-1, k=7) over the normalized text — the literal
+    rolling-hash fingerprint next to the min-md5 winnowing variant
+    (text_fingerprint). Exact BIGINT arithmetic in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
 @register(
     "dedup_exact",
     f"""

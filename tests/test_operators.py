@@ -256,3 +256,39 @@ def test_politeness_unsalted_equals_salted(spark):
         for r in select_per_host_topk(df, salt_partitions=1).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_rolling_fingerprint_semantics(spark):
+    """Rabin-Karp window hashes equal a plain-Python computation; short
+    texts yield the -1 sentinel."""
+    from basic_common_crawl_pipeline_spark.functions.textstats import (
+        RK_BASE,
+        RK_K,
+        RK_MOD,
+        rolling_fingerprint,
+    )
+
+    def py_fp(s):
+        import re
+        s = re.sub(r"\s+", " ", s.strip())
+        if len(s) < RK_K:
+            return -1
+        hashes = []
+        for i in range(len(s) - RK_K + 1):
+            total = 0
+            for j in range(RK_K):
+                total += ord(s[i + j]) * RK_BASE ** (RK_K - 1 - j)
+            hashes.append(total % RK_MOD)
+        return min(hashes)
+
+    texts = ["the quick brown fox", "  spaced   text  here ", "tiny", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert got == {i: py_fp(t) for i, t in enumerate(texts)}
