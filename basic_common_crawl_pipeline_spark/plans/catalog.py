@@ -1147,6 +1147,52 @@ def stream_stateful_user_totals(spark, sf_dir):
 
 
 @register(
+    "stream_seen_dedup",
+    """
+    SELECT DISTINCT printf('http://src%d.test/doc/%d',
+                           doc_id % 4, doc_id % 50) AS url
+    FROM documents
+    """,
+)
+def stream_seen_dedup(spark, sf_dir):
+    """G1/J2 streaming form: the crawl's URL-seen set as a custom
+    stateful operator — a stream of (duplicate-heavy) URLs is deduped
+    incrementally across 4 real micro-batches by a hash-partitioned
+    in-state seen set (applyInPandasWithState, append mode); each URL
+    emits exactly once regardless of arrival batch, so the emitted set
+    equals SELECT DISTINCT."""
+    import tempfile
+    import uuid
+
+    from ..streaming.queue_stream import run_stream_to_memory
+    from ..streaming.stateful import stateful_seen_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.format_string(
+            "http://src%d.test/doc/%d",
+            F.col("doc_id") % 4,
+            F.col("doc_id") % 50,
+        ).alias("url")
+    )
+    qdir = tempfile.mkdtemp(prefix="queue_urls_")
+    urls.repartition(8).write.mode("overwrite").parquet(qdir)
+    stream = (
+        spark.readStream.schema(urls.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(qdir)
+    )
+    deduped = stateful_seen_dedup(stream, partitions=8)
+    return run_stream_to_memory(
+        spark,
+        deduped,
+        f"seen_dedup_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode="append",
+    )
+
+
+@register(
     "sql_revenue_by_segment",
     """
     SELECT c_mktsegment,

@@ -58,3 +58,54 @@ def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming URL-seen dedup: the crawl's J2 seen-set as a streaming operator
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import ArrayType, IntegerType, StringType  # noqa: E402
+
+DEDUP_OUTPUT_SCHEMA = StructType([StructField("url", StringType())])
+DEDUP_STATE_SCHEMA = StructType(
+    [StructField("seen", ArrayType(StringType()))]
+)
+
+
+def _dedup_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    fresh: list[str] = []
+    for pdf in pdfs:
+        for u in pdf["url"]:
+            if u not in seen:
+                seen.add(u)
+                fresh.append(u)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"url": fresh})
+
+
+def stateful_seen_dedup(
+    urls_stream: DataFrame, url_col: str = "url", partitions: int = 16
+) -> DataFrame:
+    """Streaming first-occurrence URL dedup: state is a per-partition
+    seen set, hash-partitioned by ``pmod(xxhash64(url), partitions)`` —
+    the same layout as the crawl's partitioned Bloom seen-set
+    (operators/seen.py), but incremental across micro-batches. Each URL
+    is emitted exactly once (append mode), whichever batch it first
+    arrives in; the emitted SET is order-independent, hence comparable
+    to a ``SELECT DISTINCT`` oracle. At 10^10 URLs the in-state set
+    swaps for the bloom blob under the identical keying."""
+    keyed = urls_stream.select(F.col(url_col).alias("url")).withColumn(
+        "__part",
+        F.pmod(F.xxhash64("url"), F.lit(partitions)).cast(IntegerType()),
+    )
+    return keyed.groupBy("__part").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

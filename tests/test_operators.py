@@ -292,3 +292,52 @@ def test_rolling_fingerprint_semantics(spark):
         ).collect()
     }
     assert got == {i: py_fp(t) for i, t in enumerate(texts)}
+
+
+def test_stateful_seen_dedup_across_batches(spark, tmp_path):
+    """Each duplicate URL is emitted exactly once across micro-batches,
+    and re-sending the same stream content after a checkpointed run
+    emits nothing new (the seen state persists)."""
+    from basic_common_crawl_pipeline_spark.streaming.stateful import (
+        stateful_seen_dedup,
+    )
+
+    urls = spark.range(0, 300).select(
+        F.concat(F.lit("http://h.test/p"), (F.col("id") % 40).cast("string"))
+        .alias("url")
+    )
+    qdir = str(tmp_path / "urls")
+    urls.repartition(6).write.parquet(qdir)
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(urls.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(qdir)
+        )
+        q = (
+            stateful_seen_dedup(stream, partitions=4)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [r["url"] for r in spark.read.parquet(outdir).collect()]
+
+    got = drain()
+    assert sorted(got) == sorted({f"http://h.test/p{i}" for i in range(40)})
+    assert len(got) == 40  # exactly-once emission despite 300 inputs
+    # resume from the checkpoint with MORE data: only new urls emit
+    more = spark.range(0, 50).select(
+        F.concat(F.lit("http://h.test/p"), (F.col("id")).cast("string"))
+        .alias("url")
+    )
+    more.repartition(2).write.mode("append").parquet(qdir)
+    got2 = drain()
+    assert len(got2) == 50  # 40 originals + exactly the 10 new urls
+    assert set(got2) == {f"http://h.test/p{i}" for i in range(50)}
