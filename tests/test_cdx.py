@@ -124,3 +124,28 @@ def test_numeric_casts(spark):
     row = df.collect()[0]
     assert row.metadata.status == 200
     assert row.metadata.length == 3122 and row.metadata.offset == 1048
+
+
+def test_publish_all_urls_batching_arithmetic(spark, tmp_path):
+    """Port of the reference batcher's batching test
+    (python/test_batcher.py:73-93 test_publish_all_urls): 3 chunks x 2
+    eligible entries with batch_size=2 -> exactly 3 published batches;
+    every row survives the queue round trip."""
+    import glob
+
+    from basic_common_crawl_pipeline_spark.streaming.queue_stream import (
+        publish_batches,
+    )
+
+    rows = [
+        (f"chunk{c}", f"https://x{c}{i}.example/p")
+        for c in range(3)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "chunk string, url string")
+    qdir = str(tmp_path / "queue")
+    publish_batches(df, qdir, batch_size=2)
+    files = glob.glob(qdir + "/part-*.parquet")
+    assert len(files) == 3  # ceil(6 / 2) = 3 publishes
+    back = spark.read.parquet(qdir)
+    assert sorted((r["chunk"], r["url"]) for r in back.collect()) == sorted(rows)
