@@ -139,3 +139,47 @@ def test_prometheus_exposition_format():
     assert 'crawl_selected{wave="0"} 5' in text
     assert 'crawl_discovered{wave="1"} 7' in text
     assert text.endswith("\n")
+
+
+def test_wave_index_scan_prunes_html(spark, tmp_path):
+    """The wave's index join (S2/P7) must scan only (url, status, lang):
+    the fat html column appears in NO scan except the post-politeness
+    fetch join's — under both join strategies."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        pages_from_documents,
+    )
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.wave import (
+        empty_seen,
+        frontier_from_seeds,
+        run_wave,
+    )
+
+    pages, seeds, robots = pages_from_documents(spark, SF)
+    path = str(tmp_path / "pages")
+    pages.write.parquet(path)
+    pages_pq = spark.read.parquet(path)
+    for flag in (True, False):
+        out = run_wave(
+            spark, frontier_from_seeds(seeds), empty_seen(spark),
+            pages_pq, robots, wave=0,
+            config=CrawlConfig(
+                wave_seconds=16.0, collect_metrics=False,
+                broadcast_frontier=flag,
+            ),
+        )
+        plan = _plan(out.results)
+        # every parquet scan's ReadSchema over the pages table either
+        # omits html (index side) or is the url+html fetch side
+        scans = [
+            seg.split("ReadSchema:")[1].splitlines()[0]
+            for seg in plan.split("FileScan parquet")[1:]
+            if "ReadSchema:" in seg
+        ]
+        pages_scans = [s for s in scans if "status" in s or "html" in s]
+        assert any("status" in s and "html" not in s for s in pages_scans), plan
+        for s in pages_scans:
+            if "html" in s:
+                assert "status" not in s and "lang" not in s, s
+        for df in out.cached:
+            df.unpersist()
