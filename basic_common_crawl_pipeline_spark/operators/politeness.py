@@ -21,6 +21,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rank_per_host_topk(
+    eligible: DataFrame,
+    budget_col: str = "budget",
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("priority", "surt", "canon_url"),
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """``eligible`` + boolean ``__selected`` column: True for the per-host
+    top-``budget`` rows by ``order_cols``, False for the rest. Returning
+    BOTH partitions from one ranking pass lets the caller derive
+    selected AND deferred without an anti-join (one shuffle less than
+    select-then-subtract). ``budget_col`` may vary per row (it is
+    host-constant).
+
+    ``salt_partitions <= 1`` skips phase 1 entirely (one shuffle+sort
+    stage less) — the right physical choice for small waves where no
+    host can be a hot key; top-k is distributive, so both shapes return
+    the identical set (asserted in tests)."""
+    order = [F.col(c).asc() for c in order_cols]
+    names = eligible.columns
+    phase1_def = None
+    if salt_partitions > 1:
+        salted = eligible.withColumn(
+            "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_partitions))
+        )
+        w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+        r1 = salted.withColumn("__r1", F.row_number().over(w1))
+        # a salt group contributes at most `budget` survivors, so rows
+        # ranked past the budget within their salt group can never make
+        # the host's global top-k: deferred, no second ranking needed
+        phase1_def = (
+            r1.filter(F.col("__r1") > F.col(budget_col))
+            .select(*names)
+            .withColumn("__selected", F.lit(False))
+        )
+        eligible = r1.filter(F.col("__r1") <= F.col(budget_col)).select(*names)
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    ranked = (
+        eligible.withColumn("__r2", F.row_number().over(w2))
+        .withColumn("__selected", F.col("__r2") <= F.col(budget_col))
+        .drop("__r2")
+    )
+    return ranked if phase1_def is None else ranked.unionByName(phase1_def)
+
+
 def select_per_host_topk(
     eligible: DataFrame,
     budget_col: str = "budget",
@@ -29,26 +74,11 @@ def select_per_host_topk(
     salt_partitions: int = 8,
 ) -> DataFrame:
     """Filter ``eligible`` to the per-host top-``budget`` rows by
-    ``order_cols``. ``budget_col`` may vary per row (it is host-constant).
-
-    ``salt_partitions <= 1`` skips phase 1 entirely (one shuffle+sort
-    stage less) — the right physical choice for small waves where no
-    host can be a hot key; top-k is distributive, so both shapes return
-    the identical set (asserted in tests)."""
-    order = [F.col(c).asc() for c in order_cols]
-    if salt_partitions > 1:
-        salted = eligible.withColumn(
-            "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_partitions))
-        )
-        w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
-        eligible = (
-            salted.withColumn("__r1", F.row_number().over(w1))
-            .filter(F.col("__r1") <= F.col(budget_col))
-            .drop("__r1", "__salt")
-        )
-    w2 = Window.partitionBy(host_col).orderBy(*order)
+    ``order_cols`` (the selected half of ``rank_per_host_topk``)."""
     return (
-        eligible.withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= F.col(budget_col))
-        .drop("__r2")
+        rank_per_host_topk(
+            eligible, budget_col, host_col, order_cols, salt_partitions
+        )
+        .filter(F.col("__selected"))
+        .drop("__selected")
     )

@@ -42,7 +42,7 @@ from ..functions.extract import extract_text
 from ..functions.links import extract_links
 from ..functions.urls import canonicalize_url, host_of, surt
 from ..operators.ordering import with_global_seq
-from ..operators.politeness import select_per_host_topk
+from ..operators.politeness import rank_per_host_topk
 from .config import CrawlConfig
 
 _LINK_STRUCT = StructType(
@@ -262,15 +262,15 @@ def run_wave(
     # salting exists to break mega-host hot keys, which a wave under the
     # broadcast threshold cannot contain. Identical output either way
     # (top-k is distributive; asserted by the politeness tests).
+    # One ranking pass yields selected AND deferred — no anti-join
+    # (select-then-subtract would shuffle eligible+selected again).
     salt = 1 if use_broadcast else config.salt_partitions
-    selected = select_per_host_topk(
+    ranked = rank_per_host_topk(
         eligible,
         salt_partitions=salt,
-    ).select("canon_url", "host", "surt", "priority").persist()
-    deferred = (
-        eligible.join(selected.select("canon_url"), "canon_url", "left_anti")
-        .select("canon_url", "host", "surt", "priority")
-    )
+    ).select("canon_url", "host", "surt", "priority", "__selected").persist()
+    selected = ranked.filter(F.col("__selected")).drop("__selected")
+    deferred = ranked.filter(~F.col("__selected")).drop("__selected")
 
     # 6. crawl order: global sequence over the total ORDER_KEY (the
     #    offsets pass doubles as the selected-count job; the sorted pass
@@ -414,5 +414,5 @@ def run_wave(
         new_seen=new_seen,
         processed=processed,
         metrics=metrics,
-        cached=(cand, selected, extracted, processed, *seq_cache),
+        cached=(cand, ranked, extracted, processed, *seq_cache),
     )
