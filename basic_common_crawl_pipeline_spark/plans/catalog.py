@@ -1541,6 +1541,52 @@ def pages_from_documents(spark, sf_dir, replicate: int = 1, seeds_mod: int = 29)
     return pages, seeds, robots
 
 
+@register(
+    "latest_capture_dedup",
+    """
+    WITH caps AS (
+      SELECT printf('http://src%d.test/doc/%d', doc_id % 20, doc_id) AS url,
+             strftime(TIMESTAMP '2024-07-01 00:00:00'
+                      + to_hours(CAST(doc_id % 48 + 24 * c.c AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS warc_ts,
+             md5(text || '|' || CAST(c.c AS VARCHAR)) AS digest
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    ),
+    r AS (
+      SELECT url, warc_ts, digest,
+             row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM caps
+    )
+    SELECT url, warc_ts, digest FROM r WHERE rn = 1
+    """,
+)
+def latest_capture_dedup(spark, sf_dir):
+    """Per-url latest-version pick (W1's crawl use; Readme.md:24 'keep
+    the most recent version ... not implemented' in the reference): 3
+    synthesized captures per url at distinct timestamps → keep max
+    warc_ts. The ingest-side dedup that establishes run_crawl's
+    pages-unique precondition in one shuffle."""
+    from ..sources.pages import latest_capture
+
+    docs = load(spark, sf_dir, "documents")
+    caps = docs.crossJoin(
+        spark.range(3).select(F.col("id").alias("c"))
+    ).select(
+        F.format_string(
+            "http://src%d.test/doc/%d", F.col("doc_id") % 20, F.col("doc_id")
+        ).alias("url"),
+        F.date_format(
+            F.to_timestamp(F.lit("2024-07-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") % 48 + 24 * F.col("c")).cast("int")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("warc_ts"),
+        F.md5(F.concat(F.col("text"), F.lit("|"), F.col("c").cast("string"))).alias(
+            "digest"
+        ),
+    )
+    return latest_capture(caps, ts_col="warc_ts").select("url", "warc_ts", "digest")
+
+
 @register("crawl_wave_flagship")  # no SQL oracle: UDF extraction inside
 def crawl_wave_flagship(spark, sf_dir):
     """The flagship: one frontier-expansion wave over pages derived from

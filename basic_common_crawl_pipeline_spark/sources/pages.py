@@ -194,3 +194,31 @@ def corpus_to_spark(spark, corpus: SynthCorpus):
         robots_schema,
     )
     return pages, seeds, robots
+
+
+def latest_capture(
+    pages,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_cols: tuple = (),
+):
+    """One row per url: the most recent capture (max ts; pass
+    ``tiebreak_cols`` — e.g. a digest — to make same-timestamp captures
+    deterministic).
+
+    Real CDX indexes hold multiple captures per URL; the crawl engine's
+    wave joins require uniqueness (run_crawl precondition). This is the
+    ingest-side dedup: ONE shuffle once, instead of a per-wave distinct —
+    the Readme's own "keep the most recent version" intent
+    (/root/reference/Readme.md:24), which the reference leaves
+    unimplemented."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(url_col).orderBy(*order)
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -88,3 +88,39 @@ def test_resume_from_snapshot(spark, corpus, oracle_result, tmp_path):
     assert seen == oracle_result.seen
     assert {r["canon_url"]: r["text"] for r in results} == oracle_result.extracted
     assert state.wave == CONFIG.max_waves or not state.frontier.take(1)
+
+
+def test_crawl_over_deduped_multicapture_pages(spark, corpus, oracle_result, tmp_path):
+    """A pages table with 3 captures per url (older duplicates), deduped
+    at ingest via latest_capture, crawls identically to the clean table
+    — AND passes the validate_pages_unique gate that rejects the raw
+    multi-capture table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.sources.pages import latest_capture
+
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    # duplicate every page twice with OLDER timestamps and corrupted html
+    dup = pages
+    for back in (1, 2):
+        older = pages.withColumn(
+            "warc_ts", F.col("warc_ts") - F.make_interval(days=F.lit(back))
+        ).withColumn("html", F.lit(b"<html><p>stale</p></html>"))
+        dup = dup.unionByName(older)
+    import dataclasses
+
+    cfg = dataclasses.replace(CONFIG, validate_pages_unique=True)
+    with _pytest.raises(ValueError, match="duplicate urls"):
+        run_crawl(spark, dup, seeds, robots, cfg, store=SnapshotStore(
+            str(tmp_path / "reject")))
+    deduped = latest_capture(dup)
+    store = SnapshotStore(str(tmp_path / "ok"))
+    run_crawl(spark, deduped, seeds, robots, cfg, store=store)
+    order, results, seen = collect_outputs(spark, store)
+    assert [(r["seq"], r["url"]) for r in order] == [
+        (r["seq"], r["wave"], r["url"])[0:1] + (r["url"],)
+        for r in oracle_result.crawl_order
+    ]
+    assert seen == oracle_result.seen
+    assert {r["canon_url"]: r["text"] for r in results} == oracle_result.extracted
