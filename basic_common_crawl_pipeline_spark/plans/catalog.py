@@ -693,6 +693,69 @@ def text_fingerprint(spark, sf_dir):
 # ===========================================================================
 
 
+@register(
+    "text_training_filter",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len({SQL_TOKS}) AS n_tok,
+             {_r4(f"len(list_filter({SQL_TOKS}, t -> lower(t) IN {SQL_STOPS}))"
+                  f" / greatest(len({SQL_TOKS}), 1)")} AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tok, stop_ratio FROM q
+    WHERE lang = 'en' AND n_tok BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+    """,
+)
+def text_training_filter(spark, sf_dir):
+    """The composite training-data quality gate a 100 TB pipeline runs
+    before tokenization: language == en AND token-count bounds AND a
+    minimum stopword ratio (prose-likeness) — all built-in Column
+    expressions, one codegen'd filter over the scan (predicates push
+    into the parquet read where possible)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = ts.token_count("text")
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        ts.stopword_ratio("text").alias("stop_ratio"),
+    ).filter(
+        (F.col("lang") == "en")
+        & F.col("n_tok").between(20, 1000)
+        & (F.col("stop_ratio") >= 0.05)
+    )
+    return gated.select("doc_id", "n_tok", "stop_ratio")
+
+
+@register(
+    "dedup_exact_apply",
+    f"""
+    WITH k AS (
+      SELECT doc_id AS id,
+             md5(array_to_string(list_slice({SQL_TOKS}, 1, 5), ' ')) AS fp
+      FROM documents
+    ),
+    keep AS (SELECT fp, min(id) AS keep_id FROM k GROUP BY fp)
+    SELECT d.doc_id, d.source, length(d.text) AS n_chars
+    FROM documents d JOIN keep ON keep.keep_id = d.doc_id
+    """,
+)
+def dedup_exact_apply(spark, sf_dir):
+    """Dedup APPLICATION (not just group discovery): keep exactly one
+    representative per exact-duplicate group (min doc_id) via a
+    keep-list semi-join — the shape that materializes the deduplicated
+    training corpus at scale (broadcastable keep-list for low dup rates,
+    shuffle join otherwise; AQE picks)."""
+    docs = load(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(docs, "doc_id", "text", prefix_tokens=5).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 _RK_TERMS = " + ".join(
     f"ascii(substr(s, CAST(i.i + {j} AS INT), 1)) * CAST({257 ** (6 - j)} AS BIGINT)"
     for j in range(7)
