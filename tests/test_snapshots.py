@@ -89,3 +89,14 @@ def test_compaction_rewrites_delta_chain(spark, tmp_path):
         store=store, resume=True,
     )
     assert state.wave == 3
+
+
+def test_metrics_table_handles_sparse_dicts(spark):
+    """collect_metrics=False waves record only (wave, selected); the
+    metrics table must still build with nulls for the absent counters."""
+    from basic_common_crawl_pipeline_spark.plans.crawl import metrics_table
+
+    df = metrics_table(spark, [{"wave": 0, "selected": 7}])
+    row = df.collect()[0]
+    assert row["wave"] == 0 and row["selected"] == 7
+    assert row["candidates"] is None and row["fetched_bytes"] is None
