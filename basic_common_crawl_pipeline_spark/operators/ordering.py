@@ -14,6 +14,13 @@ range boundaries fall — ``local[8]`` and ``local[32]`` produce identical
 sequences (tested in test_determinism.py). This replaces the
 single-partition ``Window.orderBy()`` anti-pattern, which serializes the
 whole dataset through one task at 100 TB.
+
+The two phases are exposed separately (``global_seq_sorted`` +
+``global_seq_assign``) so a caller that already runs a per-wave count job
+can fold the per-partition counts into it instead of paying a dedicated
+offsets action — plans/wave.py collects them inside its single
+metrics/frontier job. ``with_global_seq`` remains the standalone one-call
+API.
 """
 
 from __future__ import annotations
@@ -26,38 +33,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
-def with_global_seq(
-    df: DataFrame,
-    order_cols: list[str],
-    seq_col: str = "seq",
-    start: int = 1,
-    return_total: bool = False,
-    cache_sorted: list | None = None,
-):
-    """Add ``seq_col`` = global rank (start, start+1, …) in the total order
-    of ``order_cols``. The key must be total (no ties) for determinism.
-    ``return_total=True`` → (df, row_count): the count is a free byproduct
-    of the offsets pass, saving callers a separate count() job.
-    ``cache_sorted``: pass a list to persist the sorted intermediate (the
-    offsets pass then materializes it, so consuming the output does NOT
-    re-run the global sort); the persisted handle is appended to the list
-    and the caller owns unpersisting it."""
-    names = [f.name for f in df.schema.fields]
-    # StructType.add mutates in place — build a fresh copy for the output.
-    schema = StructType(list(df.schema.fields) + [StructField(seq_col, LongType())])
+def global_seq_sorted(
+    df: DataFrame, order_cols: list[str], cache: list | None = None
+) -> DataFrame:
+    """Phase 1: range-repartition + sort on the total ``order_cols`` key,
+    with a ``__pid`` physical-partition column for the offsets count.
+    Pass a list as ``cache`` to persist the sorted intermediate (so the
+    counting job materializes it and the assignment pass does NOT re-run
+    the global sort); the handle is appended and the caller owns
+    unpersisting it."""
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     sorted_df = sorted_df.withColumn("__pid", F.spark_partition_id())
-    if cache_sorted is not None:
+    if cache is not None:
         sorted_df = sorted_df.persist()
-        cache_sorted.append(sorted_df)
-    counts = (
-        sorted_df.groupBy("__pid").count().orderBy("__pid").collect()
-    )
-    offsets = {}
+        cache.append(sorted_df)
+    return sorted_df
+
+
+def global_seq_assign(
+    sorted_df: DataFrame,
+    pid_counts: dict[int, int],
+    seq_col: str = "seq",
+    start: int = 1,
+) -> DataFrame:
+    """Phase 2: given ``{__pid: row_count}`` (from any counting job over
+    ``sorted_df``), prefix-sum the offsets on the driver and add
+    ``seq_col`` in a narrow (partition-local) mapInPandas pass. Range
+    partitions are ascending in ``__pid``, so prefix-summing in pid order
+    yields the global rank."""
+    fields = [f for f in sorted_df.schema.fields if f.name != "__pid"]
+    names = [f.name for f in fields]
+    # StructType.add mutates in place — build a fresh copy for the output.
+    schema = StructType(fields + [StructField(seq_col, LongType())])
+    offsets: dict[int, int] = {}
     acc = start
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Rows of one physical partition arrive across possibly several
@@ -75,7 +87,27 @@ def with_global_seq(
 
     # NB: mapInPandas preserves the per-partition sort because it is a
     # narrow (partition-local) transformation.
-    out = sorted_df.mapInPandas(assign, schema=schema)
+    return sorted_df.mapInPandas(assign, schema=schema)
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    start: int = 1,
+    return_total: bool = False,
+    cache_sorted: list | None = None,
+):
+    """Add ``seq_col`` = global rank (start, start+1, …) in the total order
+    of ``order_cols``. The key must be total (no ties) for determinism.
+    ``return_total=True`` → (df, row_count): the count is a free byproduct
+    of the offsets pass, saving callers a separate count() job."""
+    sorted_df = global_seq_sorted(df, order_cols, cache=cache_sorted)
+    pid_counts = {
+        row["__pid"]: row["count"]
+        for row in sorted_df.groupBy("__pid").count().collect()
+    }
+    out = global_seq_assign(sorted_df, pid_counts, seq_col=seq_col, start=start)
     if return_total:
-        return out, acc - start
+        return out, sum(pid_counts.values())
     return out

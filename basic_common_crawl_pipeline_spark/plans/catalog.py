@@ -1715,6 +1715,21 @@ def crawl_wave_flagship(spark, sf_dir):
                (s.doc_id * 13 + 7) % nn.n,
                (s.doc_id * 31 + 3) % nn.n]))), 0) AS BIGINT) AS d
       FROM sel s CROSS JOIN nn
+    ),
+    defr AS (SELECT doc_id FROM elig WHERE rnk > budget),
+    proc AS (SELECT doc_id FROM seeds EXCEPT SELECT doc_id FROM defr),
+    dl AS (
+      SELECT DISTINCT unnest([
+               (s.doc_id + 1) % nn.n,
+               (s.doc_id * 13 + 7) % nn.n,
+               (s.doc_id * 31 + 3) % nn.n]) AS doc_id
+      FROM sel s CROSS JOIN nn
+    ),
+    fr AS (
+      SELECT doc_id FROM defr
+      UNION
+      SELECT doc_id FROM dl
+      WHERE doc_id NOT IN (SELECT doc_id FROM proc)
     )
     SELECT CAST(0 AS INTEGER) AS wave,
            (SELECT count(*) FROM seeds) AS candidates,
@@ -1729,7 +1744,8 @@ def crawl_wave_flagship(spark, sf_dir):
            CAST(0 AS BIGINT) AS extract_failures,
            (SELECT d FROM disc) AS discovered,
            (SELECT CAST(coalesce(sum(hb.hb), 0) AS BIGINT)
-            FROM sel JOIN hb ON hb.doc_id = sel.doc_id) AS fetched_bytes
+            FROM sel JOIN hb ON hb.doc_id = sel.doc_id) AS fetched_bytes,
+           (SELECT CAST(count(*) AS BIGINT) FROM fr) AS frontier_size
     """,
 )
 def crawl_metrics(spark, sf_dir):

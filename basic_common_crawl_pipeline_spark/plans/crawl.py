@@ -50,7 +50,8 @@ def _bloom_from_store(spark, store, bloom, manifest):
 _METRICS_SCHEMA = (
     "wave int, candidates long, disallowed long, misses long, "
     "ineligible long, selected long, deferred long, extracted long, "
-    "extract_failures long, discovered long, fetched_bytes long"
+    "extract_failures long, discovered long, fetched_bytes long, "
+    "frontier_size long"
 )
 
 
@@ -78,11 +79,13 @@ def metrics_prometheus_text(metrics: list[dict], prefix: str = "crawl") -> str:
         if c.split()[0] != "wave"
     ]
     for c in cols:
-        total_name = f"{prefix}_{c}_total"
-        lines.append(f"# TYPE {total_name} counter")
-        lines.append(
-            f"{total_name} {sum(m.get(c) or 0 for m in metrics)}"
-        )
+        # frontier_size is a level, not a cumulative counter — gauge only
+        if c != "frontier_size":
+            total_name = f"{prefix}_{c}_total"
+            lines.append(f"# TYPE {total_name} counter")
+            lines.append(
+                f"{total_name} {sum(m.get(c) or 0 for m in metrics)}"
+            )
         gauge_name = f"{prefix}_{c}"
         lines.append(f"# TYPE {gauge_name} gauge")
         for m in metrics:
@@ -102,10 +105,26 @@ def run_crawl(
 ) -> CrawlState:
     """Run waves until the frontier drains or ``config.max_waves``.
 
-    With a ``store``, every wave commits
-    frontier/seen/crawl_order/results/metrics and truncates DataFrame
-    lineage by reloading state from the committed parquet (essential: an
-    unbounded union-chain of `seen` otherwise grows the plan every wave).
+    Per-wave driver latency is ONE blocking Spark action (the wave's
+    combined metrics/offsets/frontier-size job inside ``run_wave``):
+
+    - the frontier-drained check and the auto join-strategy input reuse
+      the previous wave's ``frontier_size`` metric (a fresh ``count()``
+      runs only once, for the first wave of a run);
+    - snapshot commits run on a background thread, overlapped with the
+      NEXT wave's computation; the barrier sits just before that wave's
+      state is rebased onto the committed parquet. CURRENT still flips
+      atomically after all of a snapshot's writes, so crash/resume
+      semantics are unchanged (an interrupted wave replays
+      deterministically from the last committed snapshot);
+    - lineage truncation is lazy: ``run_wave`` returns
+      ``localCheckpoint(eager=False)`` leaves for frontier/processed, and
+      ``seen`` is rebased onto the committed parquet each wave — no
+      dedicated checkpoint job.
+
+    With ``resume=False`` the store directory must not already contain a
+    crawl (a fresh run over an old CURRENT would splice the old run's
+    append-table deltas into the new run's tables — refused instead).
 
     PRECONDITION: ``pages`` must be unique per url (one capture per URL).
     The wave's broadcast index join would duplicate a candidate per extra
@@ -151,6 +170,14 @@ def run_crawl(
             metrics=manifest["extra"]["metrics"],
         )
     else:
+        if store is not None and store.current_snapshot() is not None:
+            raise ValueError(
+                "snapshot store already contains a crawl (CURRENT="
+                f"{store.current_snapshot()}); pass resume=True to continue "
+                "it, or point the fresh run at an empty directory — "
+                "re-using the store would splice the old run's append "
+                "deltas into the new run's seen/crawl_order/results"
+            )
         state = CrawlState(
             wave=0,
             next_seq=1,
@@ -159,104 +186,150 @@ def run_crawl(
             seen_bloom=bloom.empty(spark) if bloom is not None else None,
         )
 
-    while state.wave < config.max_waves:
-        # frontier-drained check doubles as the auto-join-strategy input:
-        # in "auto" mode count the (small, column-pruned) frontier so the
-        # wave can pick broadcast vs shuffle_hash — still one action
-        n_frontier = (
-            state.frontier.count()
-            if config.broadcast_frontier == "auto"
-            else state.frontier.limit(1).count()
-        )
-        if n_frontier == 0:
-            break
-        out: WaveOutput = run_wave(
-            spark,
-            state.frontier,
-            state.seen,
-            pages,
-            robots,
-            wave=state.wave,
-            config=config,
-            next_seq=state.next_seq,
-            seen_bloom=state.seen_bloom,
-            bloom=bloom,
-            frontier_count=n_frontier,
-        )
-        state.metrics.append(out.metrics)
-        next_seq = state.next_seq + out.metrics["selected"]
-        new_bloom = (
-            bloom.add(state.seen_bloom, out.processed)
-            if bloom is not None
-            else None
-        )
+    from concurrent.futures import ThreadPoolExecutor
 
-        if store is not None:
-            tables = {
-                "frontier": out.new_frontier,
-                # S7: metrics as a queryable snapshot table, not only
-                # manifest JSON
-                "metrics": metrics_table(spark, state.metrics),
-            }
-            if new_bloom is not None:
-                tables["seen_bloom"] = new_bloom
-            # seen/crawl_order/results grow monotonically: commit only
-            # this wave's delta (Iceberg-append semantics) — a cumulative
-            # rewrite would cost O(total²) I/O over a long crawl. seen's
-            # delta is exactly `processed` (wave step 8: new_seen = seen
-            # ∪ processed, disjoint by construction).
-            append_tables = {
-                "seen": out.processed,
-                "crawl_order": out.crawl_order,
-                "results": out.results,
-            }
-            extra = {
-                "next_wave": state.wave + 1,
-                "next_seq": next_seq,
-                "metrics": state.metrics,
-            }
+    committer = ThreadPoolExecutor(max_workers=1) if store is not None else None
+    pending = None        # in-flight commit of the previous wave
+    retiring: tuple = ()  # its caches — unpersist only after its barrier
+    committed_this_run = False
+    frontier_count: int | None = None
+    try:
+        while state.wave < config.max_waves:
+            if frontier_count is None:
+                # first wave of this run only; every later wave reuses the
+                # previous wave's frontier_size metric (drained check AND
+                # auto-join-strategy input, zero extra actions)
+                frontier_count = state.frontier.count()
+            if frontier_count == 0:
+                break
+            # ONE blocking action (inside run_wave) — it overlaps the
+            # previous wave's in-flight background commit
+            out: WaveOutput = run_wave(
+                spark,
+                state.frontier,
+                state.seen,
+                pages,
+                robots,
+                wave=state.wave,
+                config=config,
+                next_seq=state.next_seq,
+                seen_bloom=state.seen_bloom,
+                bloom=bloom,
+                frontier_count=frontier_count,
+            )
+            state.metrics.append(out.metrics)
+            next_seq = state.next_seq + out.metrics["selected"]
+            frontier_count = out.metrics["frontier_size"]
+
+            # barrier the previous wave's commit (it ran concurrently with
+            # this wave's job), then retire that wave's caches
+            if pending is not None:
+                pending.result()
+                pending = None
+                committed_this_run = True
+            for cached_df in retiring:
+                cached_df.unpersist()
+            retiring = ()
+
+            # bloom update over a bounded-lineage base: once this run has
+            # committed, rebase on the committed blobs (lazy parquet read)
+            # instead of chaining plan-over-plan wave after wave
             if bloom is not None:
-                # record the bloom geometry so resume can detect mismatch
-                extra["bloom_params"] = {
-                    "partitions": bloom.partitions,
-                    "m_bits": bloom.m_bits,
-                    "k": bloom.k,
-                }
-            store.commit(
-                snapshot=state.wave + 1,
-                tables=tables,
-                extra=extra,
-                append_tables=append_tables,
-            )
-            # lineage truncation: reload committed state
-            state.frontier = store.read_table(spark, "frontier")
-            state.seen = store.read_table(spark, "seen")
-            if new_bloom is not None:
-                state.seen_bloom = store.read_table(spark, "seen_bloom")
-        else:
-            # no store → truncate lineage in memory: without this the plan
-            # tree compounds every wave and the driver dies generating
-            # explain strings long before the data is big. frontier and
-            # seen checkpoint as ONE tagged union (one job per wave, not
-            # two — both recompute the same persisted wave intermediates).
-            from pyspark.sql import functions as F
+                base_bloom = (
+                    store.read_table(spark, "seen_bloom")
+                    if store is not None and committed_this_run
+                    else state.seen_bloom
+                )
+                new_bloom = bloom.add(base_bloom, out.processed)
+            else:
+                new_bloom = None
 
-            tagged = out.new_frontier.withColumn("__t", F.lit("f")).unionByName(
-                out.new_seen.withColumn("__t", F.lit("s")),
-                allowMissingColumns=True,
-            ).localCheckpoint(eager=True)
-            state.frontier = tagged.filter(F.col("__t") == "f").select(
-                "canon_url", "host", "surt", "priority"
-            )
-            state.seen = tagged.filter(F.col("__t") == "s").select("canon_url")
-            if new_bloom is not None:
-                state.seen_bloom = new_bloom.localCheckpoint(eager=True)
-        # state is committed/checkpointed — release the wave's caches so a
-        # long crawl doesn't accumulate dead blocks in executor storage
-        for cached_df in out.cached:
+            if store is not None:
+                if new_bloom is not None:
+                    new_bloom = new_bloom.persist()
+                tables = {
+                    "frontier": out.new_frontier,
+                    # S7: metrics as a queryable snapshot table, not only
+                    # manifest JSON
+                    "metrics": metrics_table(spark, state.metrics),
+                }
+                if new_bloom is not None:
+                    tables["seen_bloom"] = new_bloom
+                # seen/crawl_order/results grow monotonically: commit only
+                # this wave's delta (Iceberg-append semantics) — a
+                # cumulative rewrite would cost O(total²) I/O over a long
+                # crawl. seen's delta is exactly `processed` (wave step 8:
+                # new_seen = seen ∪ processed, disjoint by construction).
+                append_tables = {
+                    "seen": out.processed,
+                    "crawl_order": out.crawl_order,
+                    "results": out.results,
+                }
+                extra = {
+                    "next_wave": state.wave + 1,
+                    "next_seq": next_seq,
+                    # copy: the background json.dump must not see metrics
+                    # appended by the NEXT wave
+                    "metrics": list(state.metrics),
+                }
+                if bloom is not None:
+                    # record the bloom geometry so resume detects mismatch
+                    extra["bloom_params"] = {
+                        "partitions": bloom.partitions,
+                        "m_bits": bloom.m_bits,
+                        "k": bloom.k,
+                    }
+                pending = committer.submit(
+                    store.commit,
+                    snapshot=state.wave + 1,
+                    tables=tables,
+                    extra=extra,
+                    append_tables=append_tables,
+                )
+                retiring = out.cached + (
+                    (new_bloom,) if new_bloom is not None else ()
+                )
+                # next-wave state: depth-1 plans over committed parquet +
+                # this wave's checkpoint leaves — never reloaded eagerly
+                base_seen = (
+                    store.read_table(spark, "seen")
+                    if committed_this_run
+                    else state.seen
+                )
+                state.frontier = out.new_frontier
+                state.seen = base_seen.unionByName(out.processed)
+                state.seen_bloom = new_bloom
+            else:
+                # no store → frontier/processed are already lazy
+                # localCheckpoint leaves (run_wave); collapse the seen
+                # union chain periodically so a long crawl's plan stays
+                # O(1) leaves, and cut the bloom chain every wave (cheap —
+                # the blob table is tiny). All lazy: zero extra jobs.
+                state.frontier = out.new_frontier
+                state.seen = state.seen.unionByName(out.processed)
+                if state.wave % 8 == 7:
+                    state.seen = state.seen.localCheckpoint(eager=False)
+                if new_bloom is not None:
+                    state.seen_bloom = new_bloom.localCheckpoint(eager=False)
+                retiring = out.cached
+            state.wave += 1
+            state.next_seq = next_seq
+    finally:
+        if pending is not None:
+            pending.result()
+        for cached_df in retiring:
             cached_df.unpersist()
-        state.wave += 1
-        state.next_seq = next_seq
+        if committer is not None:
+            committer.shutdown()
+    if store is not None and store.current_snapshot() is not None:
+        # hand back clean lineage-free handles rooted at the final commit
+        state.frontier = store.read_table(spark, "frontier")
+        state.seen = store.read_table(spark, "seen")
+        if bloom is not None:
+            try:
+                state.seen_bloom = store.read_table(spark, "seen_bloom")
+            except FileNotFoundError:
+                pass
     return state
 
 

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 from ..functions.extract import extract_text
 from ..functions.links import extract_links
 from ..functions.urls import canonicalize_url, host_of, surt
-from ..operators.ordering import with_global_seq
+from ..operators.ordering import global_seq_assign, global_seq_sorted
 from ..operators.politeness import rank_per_host_topk
 from .config import CrawlConfig
 
@@ -260,11 +260,17 @@ def run_wave(
     )
     # small waves skip the salt phase (one shuffle+sort stage less): the
     # salting exists to break mega-host hot keys, which a wave under the
-    # broadcast threshold cannot contain. Identical output either way
-    # (top-k is distributive; asserted by the politeness tests).
+    # broadcast threshold cannot contain. Gated on the wave SIZE, not the
+    # join strategy — a static broadcast_frontier=True config with a huge
+    # wave must still salt. Identical output either way (top-k is
+    # distributive; asserted by the politeness tests).
     # One ranking pass yields selected AND deferred — no anti-join
     # (select-then-subtract would shuffle eligible+selected again).
-    salt = 1 if use_broadcast else config.salt_partitions
+    small_wave = (
+        frontier_count is not None
+        and frontier_count <= config.broadcast_threshold
+    )
+    salt = 1 if small_wave else config.salt_partitions
     ranked = rank_per_host_topk(
         eligible,
         salt_partitions=salt,
@@ -272,19 +278,15 @@ def run_wave(
     selected = ranked.filter(F.col("__selected")).drop("__selected")
     deferred = ranked.filter(~F.col("__selected")).drop("__selected")
 
-    # 6. crawl order: global sequence over the total ORDER_KEY (the
-    #    offsets pass doubles as the selected-count job; the sorted pass
-    #    is cached so committing crawl_order doesn't re-run the sort)
+    # 6. crawl order, phase 1: range-partition + sort on the total
+    #    ORDER_KEY. The offsets counts are folded into the wave's SINGLE
+    #    driver action below (no dedicated collect); the sorted pass is
+    #    cached so committing crawl_order doesn't re-run the sort.
     seq_cache: list = []
-    crawl_order, n_selected = with_global_seq(
+    sorted_sel = global_seq_sorted(
         selected.withColumn("wave", F.lit(wave)),
         order_cols=["priority", "surt", "canon_url"],
-        start=next_seq,
-        return_total=True,
-        cache_sorted=seq_cache,
-    )
-    crawl_order = crawl_order.select(
-        "seq", "wave", F.col("canon_url").alias("url"), "host", "priority"
+        cache=seq_cache,
     )
 
     # 7. fetch + extract (J1 content side): html joined ONLY for selected;
@@ -321,12 +323,16 @@ def run_wave(
     # 8. seen' = seen ∪ processed (everything but deferred)
     # candidates are unique by canon_url (frontier is grouped) and disjoint
     # from seen (anti-joined in step 1), so the union needs NO distinct —
-    # skipping it saves a full-seen-set shuffle every wave
+    # skipping it saves a full-seen-set shuffle every wave.
+    # localCheckpoint(eager=False): caches like persist() AND truncates the
+    # logical plan to a leaf immediately — without it the next wave's seen
+    # plan nests this wave's whole plan, compounding every wave until the
+    # driver chokes on plan strings. Lazy: it materializes inside the
+    # wave's single action below, not in a job of its own.
     processed = cand.filter(F.col("__class") != "eligible").select(
         "canon_url"
-    ).unionByName(selected.select("canon_url"))
+    ).unionByName(selected.select("canon_url")).localCheckpoint(eager=False)
     new_seen = seen.unionByName(processed)
-    processed = processed.persist()
 
     # 9. discovery: out-links, BFS priority, min-priority merge with deferred
     discovered = (
@@ -345,6 +351,8 @@ def run_wave(
     # first (all-or-nothing per canon_url, so min-priority is unchanged),
     # then merge with deferred in a single min-aggregation — saves a full
     # shuffle+agg stage per wave vs group→anti→union→group
+    # lazy localCheckpoint: plan-leaf + cached blocks, materialized inside
+    # the single action below (the frontier-size count reads every row)
     new_frontier = (
         discovered.join(new_seen, "canon_url", "left_anti")
         .unionByName(deferred)
@@ -355,18 +363,31 @@ def run_wave(
             F.min("priority").cast("int").alias("priority"),
         )
         .select("canon_url", "host", "surt", "priority")
+        .localCheckpoint(eager=False)
     )
 
+    # 10. the wave's ONE driver action: a union of single-column tag rows
+    # counted in one job. It yields, simultaneously:
+    #   - per-sorted-partition row counts  → sequencer offsets + selected
+    #     count (operators/ordering.py phase 2, no dedicated collect);
+    #   - the next frontier's size         → the caller's drained check
+    #     and next wave's join-strategy input (no fresh count() per wave);
+    #   - (collect_metrics) the full class/extract/discovery breakdown.
+    # The union is column-pruned to the constant tag, so the real work is
+    # one pass over the wave's caches — and it doubles as the
+    # materialization point for sorted_sel / new_frontier / processed.
+    one = F.lit(1).cast("long")
+    tags = sorted_sel.select(
+        F.concat(F.lit("pid:"), F.col("__pid").cast("string")).alias("k"),
+        one.alias("w"),
+    ).unionByName(
+        new_frontier.select(F.lit("frontier").alias("k"), one.alias("w"))
+    )
     if config.collect_metrics:
-        # ONE metrics action per wave: a union of single-column tag rows
-        # counted in one job, instead of three separate actions (class
-        # breakdown, results.count, discovered.count) that each re-entered
-        # the persisted-but-evictable cand/extracted caches. The union is
-        # column-pruned to the constant tag, so the only real work is one
-        # pass over the two caches.
-        one = F.lit(1).cast("long")
         tags = (
-            cand.select(F.col("__class").alias("k"), one.alias("w"))
+            tags.unionByName(
+                cand.select(F.col("__class").alias("k"), one.alias("w"))
+            )
             .unionByName(
                 extracted.filter(F.col("text").isNotNull()).select(
                     F.lit("extracted").alias("k"), one.alias("w")
@@ -384,10 +405,22 @@ def run_wave(
                 )
             )
         )
-        counts = {
-            r["k"]: r["n"]
-            for r in tags.groupBy("k").agg(F.sum("w").alias("n")).collect()
-        }
+    counts = {
+        r["k"]: r["n"]
+        for r in tags.groupBy("k").agg(F.sum("w").alias("n")).collect()
+    }
+    pid_counts = {
+        int(k[4:]): int(n) for k, n in counts.items() if k.startswith("pid:")
+    }
+    n_selected = sum(pid_counts.values())
+    frontier_size = int(counts.get("frontier", 0))
+
+    # crawl order, phase 2: narrow offsets+rank pass over the cached sort
+    crawl_order = global_seq_assign(
+        sorted_sel, pid_counts, start=next_seq
+    ).select("seq", "wave", F.col("canon_url").alias("url"), "host", "priority")
+
+    if config.collect_metrics:
         n_extracted = counts.get("extracted", 0)
         metrics = {
             "wave": wave,
@@ -404,9 +437,14 @@ def run_wave(
             "extract_failures": n_selected - n_extracted,
             "discovered": counts.get("discovered", 0),
             "fetched_bytes": counts.get("fetched_bytes", 0),
+            "frontier_size": frontier_size,
         }
     else:
-        metrics = {"wave": wave, "selected": n_selected}
+        metrics = {
+            "wave": wave,
+            "selected": n_selected,
+            "frontier_size": frontier_size,
+        }
     return WaveOutput(
         crawl_order=crawl_order,
         results=results,
@@ -414,5 +452,5 @@ def run_wave(
         new_seen=new_seen,
         processed=processed,
         metrics=metrics,
-        cached=(cand, ranked, extracted, processed, *seq_cache),
+        cached=(cand, ranked, extracted, *seq_cache),
     )

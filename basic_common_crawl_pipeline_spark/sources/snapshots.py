@@ -58,9 +58,15 @@ class SnapshotStore:
         O(delta) I/O per commit instead of a cumulative rewrite —
         O(total²) over a long crawl otherwise. Re-running a crashed wave
         overwrites the same snap-N delta path and rebuilds the path list
-        from the last committed manifest, so replay stays idempotent."""
+        from the PREDECESSOR manifest (snapshot-1) — not from CURRENT —
+        so replay stays idempotent AND a snapshot numbering that restarts
+        at 1 over a directory holding older manifests starts from empty
+        append chains instead of splicing a previous run's deltas in."""
         manifest: dict = {"snapshot": snapshot, "tables": {}, "extra": extra or {}}
-        prev = self.read_manifest() if self.current_snapshot() is not None else None
+        try:
+            prev = self.read_manifest(snapshot - 1)
+        except FileNotFoundError:
+            prev = None
         writes: list[tuple[str, DataFrame, str]] = []
         for name, df in tables.items():
             path = os.path.join(self.root, name, f"snap-{snapshot}")

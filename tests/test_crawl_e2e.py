@@ -65,7 +65,7 @@ def test_wave_metrics_match_oracle(oracle_result, spark_outputs):
     keys = [
         "wave", "candidates", "disallowed", "misses", "ineligible",
         "selected", "deferred", "extracted", "extract_failures", "discovered",
-        "fetched_bytes",
+        "fetched_bytes", "frontier_size",
     ]
     got = [{k: m[k] for k in keys} for m in state.metrics]
     want = [{k: m[k] for k in keys} for m in oracle_result.metrics]
