@@ -181,7 +181,10 @@ def run_crawl(
         state = CrawlState(
             wave=0,
             next_seq=1,
-            frontier=frontier_from_seeds(seeds),
+            # lazy checkpoint: the initial drained-check count materializes
+            # the canonized frontier once; wave 0 reuses the blocks instead
+            # of re-running the seed canonicalization inside its own job
+            frontier=frontier_from_seeds(seeds).localCheckpoint(eager=False),
             seen=empty_seen(spark),
             seen_bloom=bloom.empty(spark) if bloom is not None else None,
         )
@@ -193,6 +196,9 @@ def run_crawl(
     retiring: tuple = ()  # its caches — unpersist only after its barrier
     committed_this_run = False
     frontier_count: int | None = None
+    # the robots dim is re-read every wave (broadcast join build) — cache
+    # it once per crawl instead of recomputing its lineage per wave
+    robots = robots.persist()
     try:
         while state.wave < config.max_waves:
             if frontier_count is None:
@@ -319,6 +325,7 @@ def run_crawl(
             pending.result()
         for cached_df in retiring:
             cached_df.unpersist()
+        robots.unpersist()
         if committer is not None:
             committer.shutdown()
     if store is not None and store.current_snapshot() is not None:

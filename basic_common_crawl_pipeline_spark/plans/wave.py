@@ -121,9 +121,16 @@ def _canonize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
-    """Seed URLs → canonical frontier rows (canon_url, host, surt, priority)."""
+    """Seed URLs → canonical frontier rows (canon_url, host, surt, priority).
+
+    The repartition before the canonize stage matters: seed lists often
+    arrive as one file / one in-memory partition, which would run the
+    Python canonicalization serially no matter how many cores exist —
+    hash-distributing the (tiny) url strings first makes the first wave's
+    frontier build parallel."""
     return (
         seeds.select("url", F.col("priority").cast("int").alias("priority"))
+        .repartition(F.col("url"))
         .mapInPandas(_canonize_batches, schema=_FRONTIER_SCHEMA)
         .groupBy("canon_url")
         .agg(
