@@ -341,3 +341,54 @@ def test_stateful_seen_dedup_across_batches(spark, tmp_path):
     got2 = drain()
     assert len(got2) == 50  # 40 originals + exactly the 10 new urls
     assert set(got2) == {f"http://h.test/p{i}" for i in range(50)}
+
+
+def test_seen_dedup_state_is_bitset_plus_digests():
+    """The streaming seen-dedup's per-partition state is a FIXED-size KM
+    bitset plus a packed uint64 digest array: state bytes grow at exactly
+    8 bytes per unique url, independent of url LENGTH — no in-state
+    Python string set. Emission stays exact even when a deliberately
+    undersized bloom makes nearly every probe bloom-positive (the digest
+    layer disambiguates)."""
+    import pandas as pd
+
+    from basic_common_crawl_pipeline_spark.streaming.stateful import (
+        _make_dedup_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    def batch(urls):
+        # any deterministic per-url int64 stands in for JVM xxhash64 here
+        h = [hash(u) % (1 << 63) for u in urls]
+        return pd.DataFrame({"url": urls, "__h": pd.array(h, dtype="int64")})
+
+    for m_bits in (1 << 16, 64):  # healthy bloom AND pathological 64-bit
+        update = _make_dedup_update(m_bits=m_bits, k=7)
+        state = FakeState()
+        long = "http://host.test/" + "x" * 500 + "/p"
+        b1 = [f"{long}{i}" for i in list(range(30)) + list(range(10))]
+        out1 = list(update((0,), iter([batch(b1)]), state))[0]
+        assert sorted(out1["url"]) == sorted(f"{long}{i}" for i in range(30))
+        bits, digests = state.get
+        assert len(bits) == m_bits // 8          # fixed, fill-independent
+        assert len(digests) == 8 * 30            # 8 B/url, not O(len(url))
+        # second micro-batch: 30 dups + 20 new, split across two pdfs
+        b2a = [f"{long}{i}" for i in range(25)]
+        b2b = [f"{long}{i}" for i in range(25, 50)]
+        out2 = list(update((0,), iter([batch(b2a), batch(b2b)]), state))[0]
+        assert sorted(out2["url"]) == sorted(
+            f"{long}{i}" for i in range(30, 50)
+        )
+        bits2, digests2 = state.get
+        assert len(bits2) == m_bits // 8
+        assert len(digests2) == 8 * 50
