@@ -206,18 +206,91 @@ def cosine_topk_lsh(
     cosine rank within the probed set.
 
     The query's vector and signature are single-row driver-side lookups
-    (metadata, not data). At scale the signature filter sits on top of a
-    signature-prefix table layout → partition pruning, not a row scan."""
+    (metadata, not data). This variant computes signatures on the fly, so
+    the probe is a row-level filter; for the physical layout where the
+    same ball probe becomes partition PRUNING, see
+    ``write_sig_partitioned`` + ``cosine_topk_lsh_partitioned`` below
+    (pinned by tests/test_plans.py::test_ann_sig_layout_partition_pruning)."""
     if planes is None:
         planes = random_hyperplanes()
     sigs = rh_signature(df, planes, vec_col=vec_col)
-    qrow = (
-        sigs.filter(F.col(id_col) == query_id)
-        .select(vec_col, "sig")
-        .collect()[0]
+    qrows = (
+        sigs.filter(F.col(id_col) == query_id).select(vec_col, "sig").take(1)
     )
-    qvec, qsig = list(qrow[0]), qrow[1]
+    if not qrows:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec, qsig = list(qrows[0][0]), qrows[0][1]
     probed = sigs.filter(
         F.expr(f"bit_count(sig ^ {qsig})") <= max_hamming
     ).drop("sig")
     return cosine_topk(probed, qvec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# signature-prefix physical layout: the probe as PARTITION PRUNING
+# ---------------------------------------------------------------------------
+
+
+def write_sig_partitioned(
+    df: DataFrame,
+    path: str,
+    planes: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    prefix_bits: int | None = None,
+) -> None:
+    """Materialize the embeddings table physically partitioned by
+    ``sig_prefix`` (the low ``prefix_bits`` bits of the packed
+    random-hyperplane signature; default: all of it). This is the layout
+    that turns ``cosine_topk_lsh_partitioned``'s Hamming-ball probe into
+    *partition pruning* — at 10^10 vectors the probe opens ~14% of the
+    table's partitions (r=2, 8 planes) instead of scanning every row to
+    evaluate a signature filter. The full ``sig`` stays as a data column
+    for the residual filter when ``prefix_bits`` < #planes."""
+    if planes is None:
+        planes = random_hyperplanes()
+    if prefix_bits is None:
+        prefix_bits = len(planes)
+    sigs = rh_signature(df, planes, vec_col=vec_col).withColumn(
+        "sig_prefix",
+        F.col("sig").bitwiseAND(F.lit((1 << prefix_bits) - 1)).cast("int"),
+    )
+    sigs.write.mode("overwrite").partitionBy("sig_prefix").parquet(path)
+
+
+def cosine_topk_lsh_partitioned(
+    spark,
+    path: str,
+    query_id,
+    k: int = 10,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_bits: int | None = None,
+    n_planes: int = 8,
+):
+    """Multi-probe LSH top-k over a ``write_sig_partitioned`` layout: the
+    Hamming-ball membership test is expressed on the PARTITION column
+    (``bit_count(sig_prefix ^ q_prefix) <= r``), so the scan prunes whole
+    partitions (pinned by tests/test_plans.py — ``PartitionFilters`` in
+    the executed plan, ball-sized file set) before the residual row-level
+    signature filter and the exact cosine rank."""
+    if prefix_bits is None:
+        prefix_bits = n_planes
+    table = spark.read.parquet(path)
+    qrows = table.filter(F.col(id_col) == query_id).select(vec_col, "sig").take(1)
+    if not qrows:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec, qsig = list(qrows[0][0]), int(qrows[0][1])
+    qpref = qsig & ((1 << prefix_bits) - 1)
+    probed = table.filter(
+        F.expr(f"bit_count(sig_prefix ^ {qpref})") <= max_hamming
+    )
+    if prefix_bits < n_planes:
+        # prefix pruning is necessary-but-not-sufficient: apply the full
+        # signature test on the surviving rows
+        probed = probed.filter(
+            F.expr(f"bit_count(sig ^ {qsig})") <= max_hamming
+        )
+    return cosine_topk(
+        probed.drop("sig", "sig_prefix"), qvec, k, id_col, vec_col
+    )

@@ -1077,6 +1077,48 @@ def ann_cosine_topk_bucketed(spark, sf_dir):
 
 
 @register(
+    "ann_cosine_topk_partitioned",
+    f"""
+    WITH {_SQL_SIGS},
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 1),
+    qe AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+    probed AS (
+      SELECT s.vec_id FROM sigs s CROSS JOIN q
+      WHERE bit_count(xor(s.sig, q.qsig)) <= 2
+    ),
+    d AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      JOIN probed USING (vec_id)
+      CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, {_r4("dot / (ne * nq)")} AS cos
+    FROM d ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk_partitioned(spark, sf_dir):
+    """The same Hamming-ball probe as ann_cosine_topk_bucketed, but over
+    the signature-prefix PHYSICAL layout (write_sig_partitioned): the
+    ball membership test sits on the partition column, so the scan opens
+    only the ~37/256 ball partitions — partition pruning, not a full-row
+    signature filter (PartitionFilters pinned in tests/test_plans.py)."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="emb_sig_layout_")
+    similarity.write_sig_partitioned(emb, path, planes=_RH_PLANES)
+    return similarity.cosine_topk_lsh_partitioned(
+        spark, path, query_id=1, k=10, max_hamming=2,
+        n_planes=len(_RH_PLANES),
+    )
+
+
+@register(
     "emb_neardup_pairs",
     f"""
     WITH {_SQL_SIGS},

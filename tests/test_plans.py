@@ -183,3 +183,49 @@ def test_wave_index_scan_prunes_html(spark, tmp_path):
                 assert "status" not in s and "lang" not in s, s
         for df in out.cached:
             df.unpersist()
+
+
+def test_ann_sig_layout_partition_pruning(spark, tmp_path):
+    """The signature-prefix layout turns the ANN Hamming-ball probe into
+    PARTITION pruning: the ball predicate sits on the partition column
+    (PartitionFilters in the plan), only ball partitions are opened, and
+    the result equals the computed-signature probe over the raw table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators import similarity
+    from basic_common_crawl_pipeline_spark.plans.catalog import _RH_PLANES
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sig_layout")
+    similarity.write_sig_partitioned(emb, path, planes=_RH_PLANES)
+
+    table = spark.read.parquet(path)
+    qsig = int(table.filter(F.col("vec_id") == 1).select("sig").take(1)[0][0])
+    probe = table.filter(F.expr(f"bit_count(sig_prefix ^ {qsig}) <= 2"))
+    plan = _plan(probe)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "sig_prefix" in pf and "bit_count" in pf, plan
+    # behavioral pruning: the files actually opened are ball partitions
+    files = {
+        r[0] for r in probe.select(F.input_file_name()).distinct().collect()
+    }
+    prefixes = {int(re.search(r"sig_prefix=(\d+)", f).group(1)) for f in files}
+    ball = {p for p in range(256) if bin(p ^ qsig).count("1") <= 2}
+    all_parts = {
+        int(re.search(r"sig_prefix=(\d+)", r[0]).group(1))
+        for r in table.select(F.input_file_name()).distinct().collect()
+    }
+    assert prefixes <= ball
+    assert len(prefixes) < len(all_parts)  # genuinely pruned, not a scan
+    # end-to-end equality with the computed-signature probe
+    got = similarity.cosine_topk_lsh_partitioned(
+        spark, path, query_id=1, k=10, max_hamming=2, n_planes=8
+    ).collect()
+    want = similarity.cosine_topk_lsh(
+        emb, query_id=1, k=10, max_hamming=2, planes=_RH_PLANES
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
