@@ -80,6 +80,12 @@ class CrawlConfig:
     # discovered/extracted counts); selected-count still flows from the
     # sequencer's offsets pass. Production telemetry on; benchmarks off.
     collect_metrics: bool = True
+    # every N waves, fold the append-tables' delta chains (seen /
+    # crawl_order / results) into one base path (Iceberg
+    # rewrite-data-files): a 1000-wave crawl otherwise unions 1000 deltas
+    # per read. Runs on the commit thread, overlapped with the next
+    # wave's computation. None → never compact.
+    compact_every_n_waves: int | None = None
 
 
 def host_budget(wave_seconds: float, crawl_delay: float) -> int:

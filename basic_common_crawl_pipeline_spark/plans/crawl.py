@@ -285,13 +285,34 @@ def run_crawl(
                         "m_bits": bloom.m_bits,
                         "k": bloom.k,
                     }
-                pending = committer.submit(
-                    store.commit,
-                    snapshot=state.wave + 1,
-                    tables=tables,
-                    extra=extra,
-                    append_tables=append_tables,
+                snap = state.wave + 1
+                compact_now = bool(
+                    config.compact_every_n_waves
+                    and snap % config.compact_every_n_waves == 0
                 )
+
+                def _commit_and_maybe_compact(
+                    _snap=snap,
+                    _tables=tables,
+                    _extra=extra,
+                    _appends=append_tables,
+                    _compact=compact_now,
+                ):
+                    store.commit(
+                        snapshot=_snap,
+                        tables=_tables,
+                        extra=_extra,
+                        append_tables=_appends,
+                    )
+                    if _compact:
+                        # fold the delta chains while the NEXT wave runs;
+                        # superseded delta files stay on disk (Iceberg
+                        # expire-snapshots territory), so in-flight lazy
+                        # readers of the old path list are unaffected
+                        for name in ("seen", "crawl_order", "results"):
+                            store.compact(spark, name)
+
+                pending = committer.submit(_commit_and_maybe_compact)
                 retiring = out.cached + (
                     (new_bloom,) if new_bloom is not None else ()
                 )

@@ -100,3 +100,57 @@ def test_metrics_table_handles_sparse_dicts(spark):
     row = df.collect()[0]
     assert row["wave"] == 0 and row["selected"] == 7
     assert row["candidates"] is None and row["fetched_bytes"] is None
+
+
+def test_auto_compaction_long_crawl(spark, tmp_path):
+    """A 24-wave crawl with compact_every_n_waves=6 keeps every
+    append-table's manifest path list bounded by the compaction interval
+    (not the wave count), matches the single-node oracle exactly, and
+    resumes across a compaction boundary byte-identically."""
+    import dataclasses
+
+    from basic_common_crawl_pipeline_spark.plans.crawl import collect_outputs
+    from basic_common_crawl_pipeline_spark.plans.oracle import run_oracle
+
+    corpus = synth_corpus(n_pages=400, n_hosts=5, seed=11, n_seeds=8)
+    cfg = CrawlConfig(
+        wave_seconds=1.0, max_waves=20, salt_partitions=2,
+        compact_every_n_waves=5,
+    )
+    want = run_oracle(corpus.pages, corpus.seeds, corpus.robots, cfg)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    # 40 tiny waves: shrink per-stage task count for the duration (the
+    # determinism suite already pins output equality across partition
+    # counts); restored below
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    store = SnapshotStore(str(tmp_path / "compacted"))
+    state = run_crawl(spark, pages, seeds, robots, cfg, store=store)
+    assert state.wave == 20  # genuinely a long crawl
+    manifest = store.read_manifest()
+    for name in ("seen", "crawl_order", "results"):
+        paths = manifest["tables"][name]["paths"]
+        # last compaction at snapshot 20 → exactly one base path
+        assert len(paths) <= 5, (name, paths)
+    order, results, seen = collect_outputs(spark, store)
+    assert [(r["seq"], r["wave"], r["url"]) for r in order] == [
+        (r["seq"], r["wave"], r["url"]) for r in want.crawl_order
+    ]
+    assert seen == want.seen
+    assert {r["canon_url"]: r["text"] for r in results} == want.extracted
+
+    # resume across a compaction boundary (snapshot 5 compacted in the
+    # first half) reproduces the uninterrupted run exactly
+    store2 = SnapshotStore(str(tmp_path / "split"))
+    half = dataclasses.replace(cfg, max_waves=7)
+    try:
+        run_crawl(spark, pages, seeds, robots, half, store=store2)
+        run_crawl(spark, pages, seeds, robots, cfg, store=store2, resume=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    order2, results2, seen2 = collect_outputs(spark, store2)
+    assert [(r["seq"], r["wave"], r["url"]) for r in order2] == [
+        (r["seq"], r["wave"], r["url"]) for r in want.crawl_order
+    ]
+    assert seen2 == want.seen
