@@ -94,6 +94,58 @@ def metrics_prometheus_text(metrics: list[dict], prefix: str = "crawl") -> str:
     return "\n".join(lines) + "\n"
 
 
+class MetricsServer:
+    """Live Prometheus scrape endpoint — the executable counterpart of
+    the reference's metrics HTTP servers on :9000/:9001
+    (rust/src/tracing_and_metrics.rs:5-20, scraped by
+    prometheus/scrape_configs.yml:1-14). Serves
+    ``metrics_prometheus_text`` of the most recent per-wave metrics at
+    ``/metrics`` from a daemon thread; wire it to a crawl via
+    ``run_crawl(..., progress=server.update)``. ``port=0`` binds an
+    ephemeral port (see ``.port``)."""
+
+    def __init__(self, port: int = 0, prefix: str = "crawl") -> None:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self._metrics: list[dict] = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path.rstrip("/") not in ("", "/metrics"):
+                    self.send_error(404)
+                    return
+                body = metrics_prometheus_text(
+                    list(outer._metrics), prefix=prefix
+                ).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *_args):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def update(self, metrics: list[dict]) -> None:
+        """Per-wave progress hook: swap in the crawl's metrics so far."""
+        self._metrics = list(metrics)
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -102,6 +154,7 @@ def run_crawl(
     config: CrawlConfig = CrawlConfig(),
     store: SnapshotStore | None = None,
     resume: bool = False,
+    progress=None,
 ) -> CrawlState:
     """Run waves until the frontier drains or ``config.max_waves``.
 
@@ -226,6 +279,9 @@ def run_crawl(
             state.metrics.append(out.metrics)
             next_seq = state.next_seq + out.metrics["selected"]
             frontier_count = out.metrics["frontier_size"]
+            if progress is not None:
+                # M5: per-wave progress callback (e.g. MetricsServer.update)
+                progress(state.metrics)
 
             # barrier the previous wave's commit (it ran concurrently with
             # this wave's job), then retire that wave's caches

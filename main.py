@@ -34,11 +34,18 @@ def main() -> None:
     crawl.add_argument("--wave-seconds", type=float, default=60.0)
     crawl.add_argument("--resume", action="store_true")
     crawl.add_argument("--bloom", action="store_true")
+    crawl.add_argument(
+        "--metrics-port", type=int, default=None,
+        help="serve Prometheus text exposition at :PORT/metrics while the "
+        "crawl runs (the reference's tracing_and_metrics endpoint; its "
+        "scrape_configs.yml points at :9000/:9001)",
+    )
 
     demo = sub.add_parser("demo", help="crawl pages derived from testdata")
     demo.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     demo.add_argument("--store", required=True)
     demo.add_argument("--waves", type=int, default=3)
+    demo.add_argument("--metrics-port", type=int, default=None)
 
     args = parser.parse_args()
 
@@ -70,10 +77,21 @@ def main() -> None:
         config = CrawlConfig(wave_seconds=16.0, max_waves=args.waves)
         resume = False
 
-    state = run_crawl(
-        spark, pages, seeds, robots, config,
-        store=SnapshotStore(args.store), resume=resume,
-    )
+    server = None
+    if args.metrics_port is not None:
+        from basic_common_crawl_pipeline_spark.plans.crawl import MetricsServer
+
+        server = MetricsServer(port=args.metrics_port)
+        print(f"serving metrics at http://0.0.0.0:{server.port}/metrics")
+    try:
+        state = run_crawl(
+            spark, pages, seeds, robots, config,
+            store=SnapshotStore(args.store), resume=resume,
+            progress=server.update if server is not None else None,
+        )
+    finally:
+        if server is not None:
+            server.close()
     print(json.dumps({"waves": state.wave, "metrics": state.metrics}))
 
 

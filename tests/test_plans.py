@@ -229,3 +229,75 @@ def test_ann_sig_layout_partition_pruning(spark, tmp_path):
     assert [(r["vec_id"], r["cos"]) for r in got] == [
         (r["vec_id"], r["cos"]) for r in want
     ]
+
+
+def test_metrics_server_scrape_mid_crawl(spark, tmp_path):
+    """S7 live endpoint: a crawl wired to MetricsServer serves Prometheus
+    text at /metrics WHILE running; a mid-run scrape parses to the
+    metrics committed so far, and the final scrape matches the crawl's
+    counters exactly (the format already pinned above)."""
+    import threading
+    import urllib.request
+
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.crawl import (
+        MetricsServer,
+        run_crawl,
+    )
+    from basic_common_crawl_pipeline_spark.sources.pages import (
+        corpus_to_spark,
+        synth_corpus,
+    )
+    from basic_common_crawl_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    corpus = synth_corpus(n_pages=200, n_hosts=4, seed=5, n_seeds=8)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    server = MetricsServer(port=0)
+    first_wave = threading.Event()
+    mid_run: dict = {}
+
+    def progress(metrics):
+        server.update(metrics)
+        if not first_wave.is_set():
+            # scrape from inside the run, between waves — the crawl is
+            # still executing when this GET lands
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/metrics", timeout=10
+            ) as r:
+                mid_run["text"] = r.read().decode()
+                mid_run["ctype"] = r.headers["Content-Type"]
+            first_wave.set()
+
+    cfg = CrawlConfig(wave_seconds=8.0, max_waves=3, salt_partitions=2)
+    state = run_crawl(
+        spark, pages, seeds, robots, cfg,
+        store=SnapshotStore(str(tmp_path / "s")), progress=progress,
+    )
+    assert first_wave.is_set() and state.wave >= 2
+    assert mid_run["ctype"].startswith("text/plain")
+
+    def parse(text):
+        out = {}
+        for line in text.splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            name, value = line.rsplit(" ", 1)
+            out[name] = float(value)
+        return out
+
+    mid = parse(mid_run["text"])
+    assert mid["crawl_selected_total"] == state.metrics[0]["selected"]
+    assert mid['crawl_candidates{wave="0"}'] == state.metrics[0]["candidates"]
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics", timeout=10
+    ) as r:
+        final = parse(r.read().decode())
+    server.close()
+    assert final["crawl_selected_total"] == sum(
+        m["selected"] for m in state.metrics
+    )
+    assert final["crawl_extracted_total"] == sum(
+        m["extracted"] for m in state.metrics
+    )
