@@ -1566,6 +1566,72 @@ def warc_range_fetch(spark, sf_dir):
     return warc.extract_responses(warc.fetch_warc_records(cdx))
 
 
+@register(
+    "warc_multicapture_latest",
+    """
+    WITH caps AS (
+      SELECT printf('http://src%d.test/doc/%d', doc_id % 20, doc_id) AS url,
+             strftime(TIMESTAMP '2024-07-01 00:00:00'
+                      + to_hours(CAST(doc_id % 48 + 24 * c.c AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS warc_ts,
+             md5('<html><head><title>d' || doc_id
+                 || '</title></head><body><h1>Doc ' || doc_id
+                 || '</h1><p>rev ' || c.c || ' ' || text
+                 || '</p></body></html>') AS digest
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    ),
+    r AS (
+      SELECT url, warc_ts, digest,
+             row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM caps
+    )
+    SELECT url, warc_ts, digest FROM r WHERE rn = 1
+    """,
+)
+def warc_multicapture_latest(spark, sf_dir):
+    """The real Common Crawl shape end-to-end: a physical WARC+CDX corpus
+    holding THREE captures per url (distinct timestamps riding the CDX
+    rows), range-fetched back into a pages table via ``warc_pages``'s
+    per-capture ts_col, then ``latest_capture`` keeps the newest capture
+    per url — the crawl-ready ingest-dedup chain, oracled on
+    (url, kept warc_ts, payload digest)."""
+    import tempfile
+
+    from ..sources import warc
+    from ..sources.pages import latest_capture
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    caps = docs.crossJoin(spark.range(3).select(F.col("id").alias("c")))
+    url = F.format_string(
+        "http://src%d.test/doc/%d", F.col("doc_id") % 20, F.col("doc_id")
+    )
+    wts = F.date_format(
+        F.to_timestamp(F.lit("2024-07-01 00:00:00"))
+        + F.make_interval(
+            hours=(F.col("doc_id") % 48 + 24 * F.col("c")).cast("int")
+        ),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>d"), did,
+        F.lit("</title></head><body><h1>Doc "), did,
+        F.lit("</h1><p>rev "), F.col("c").cast("string"), F.lit(" "),
+        F.col("text"), F.lit("</p></body></html>"),
+    ).cast("binary")
+    pages = caps.select(
+        url.alias("url"), html.alias("html"), wts.alias("wts")
+    ).repartition(8)
+    out_dir = tempfile.mkdtemp(prefix="warc_multicap_")
+    cdx = warc.write_warc_corpus(spark, pages, out_dir, through_cols=("wts",))
+    latest = latest_capture(warc.warc_pages(cdx, ts_col="wts"))
+    return latest.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        F.md5("html").alias("digest"),
+    )
+
+
 # ===========================================================================
 # H. the crawl engine flagship (no SQL oracle — verified against the
 #    single-node oracle in tests/test_crawl_e2e.py instead)

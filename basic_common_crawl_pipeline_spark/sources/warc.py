@@ -187,7 +187,7 @@ def iter_warc_file(path: str) -> Iterator[tuple[dict, bytes]]:
 _REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
 
 
-def _write_batches(out_dir: str, with_status: bool):
+def _write_batches(out_dir: str, with_status: bool, through_cols: tuple = ()):
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if len(batch) == 0:
@@ -195,11 +195,17 @@ def _write_batches(out_dir: str, with_status: bool):
             fname = os.path.join(
                 out_dir, f"warc-{uuid.uuid4().hex[:12]}.warc.gz"
             )
+            # write under a temp name and rename on batch completion: a
+            # failed/retried or speculative task attempt must not leave a
+            # half-written *.warc.gz that scan_warc_files would pick up
+            # (only the committed attempt's CDX rows reference the file)
+            tmp_name = fname + ".inprogress"
             rows: dict[str, list] = {
-                "url": [], "filename": [], "offset": [], "length": []
+                "url": [], "filename": [], "offset": [], "length": [],
+                **{c: [] for c in through_cols},
             }
             statuses = batch["status"] if with_status else [200] * len(batch)
-            with open(fname, "wb") as f:
+            with open(tmp_name, "wb") as f:
                 off = f.write(
                     _gzip_member(
                         build_warc_record(
@@ -207,8 +213,8 @@ def _write_batches(out_dir: str, with_status: bool):
                         )
                     )
                 )
-                for url, html, status in zip(
-                    batch["url"], batch["html"], statuses
+                for i, (url, html, status) in enumerate(
+                    zip(batch["url"], batch["html"], statuses)
                 ):
                     body = bytes(html)
                     status = int(status)
@@ -236,7 +242,10 @@ def _write_batches(out_dir: str, with_status: bool):
                     rows["filename"].append(fname)
                     rows["offset"].append(off)
                     rows["length"].append(len(member))
+                    for c in through_cols:
+                        rows[c].append(batch[c].iloc[i])
                     off += f.write(member)
+            os.replace(tmp_name, fname)
             yield pd.DataFrame(rows)
 
     return write
@@ -248,22 +257,35 @@ def write_warc_corpus(
     out_dir: str,
     carry_cols: tuple[str, ...] = (),
     status_col: str | None = None,
+    through_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Write ``pages`` (url, html binary) as member-per-record .warc.gz
     files — one file per Arrow batch, written partition-parallel — and
-    return the CDX table (url, filename, offset, length[, carry_cols]).
-    ``carry_cols`` are page metadata columns copied into the CDX rows,
-    like the real CDX's languages/status fields (joined back after the
-    write). ``status_col`` names a page column whose value becomes each
-    record's HTTP status line (default: every response 200 OK). The CDX is
-    materialized as parquet under ``out_dir`` so the WARC files are
-    written exactly once (re-running the returned plan re-reads parquet,
-    never re-writes fixtures)."""
+    return the CDX table (url, filename, offset, length[, carry_cols,
+    through_cols]). ``carry_cols`` are page metadata columns copied into
+    the CDX rows, like the real CDX's languages/status fields (joined
+    back by url after the write — single-capture tables only).
+    ``through_cols`` flow row-aligned THROUGH the writer instead, so they
+    stay correct when the same url has multiple captures (a url-join
+    would cross-multiply them). ``status_col`` names a page column whose
+    value becomes each record's HTTP status line (default: every
+    response 200 OK). The CDX is materialized as parquet under
+    ``out_dir`` so the WARC files are written exactly once (re-running
+    the returned plan re-reads parquet, never re-writes fixtures)."""
     os.makedirs(out_dir, exist_ok=True)
     cols = ["url", "html"] + ([F.col(status_col).alias("status")] if status_col else [])
+    cols += list(through_cols)
+    schema = StructType(
+        list(CDX_SCHEMA.fields)
+        + [pages.schema[c] for c in through_cols]
+    )
     cdx_lazy = pages.select(*cols).mapInPandas(
-        _write_batches(out_dir, with_status=status_col is not None),
-        schema=CDX_SCHEMA,
+        _write_batches(
+            out_dir,
+            with_status=status_col is not None,
+            through_cols=through_cols,
+        ),
+        schema=schema,
     )
     if carry_cols:
         cdx_lazy = cdx_lazy.join(
@@ -319,57 +341,84 @@ _PAGE_SCHEMA = StructType(
 )
 
 
-def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Range fetch + record parse + response filter + header/body split in
-    ONE Arrow crossing — the whole physical chain per CDX row, yielding
-    pages-shaped rows keyed by the CDX url."""
-    for batch in batches:
-        out: dict[str, list] = {"url": [], "status": [], "html": []}
-        for fname, group in batch.groupby("filename", sort=False):
-            with open(fname, "rb") as f:
-                for url, off, length in zip(
-                    group["url"], group["offset"], group["length"]
-                ):
-                    f.seek(int(off))
-                    raw = gzip.decompress(f.read(int(length)))
-                    rec = parse_warc_record(raw)
-                    if rec is None:
-                        continue
-                    headers, block = rec
-                    if headers.get("WARC-Type") != "response":
-                        continue
-                    body = split_http_response(block)
-                    if body is None:
-                        continue
-                    parts = block.split(b"\r\n", 1)[0].split(b" ")
-                    try:
-                        status = int(parts[1])
-                    except (IndexError, ValueError):
-                        continue
-                    out["url"].append(url)
-                    out["status"].append(status)
-                    out["html"].append(body)
-        yield pd.DataFrame(out)
+def _page_batches(through_cols: tuple = ()):
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Range fetch + record parse + response filter + header/body
+        split in ONE Arrow crossing — the whole physical chain per CDX
+        row, yielding pages-shaped rows keyed by the CDX url.
+        ``through_cols`` are copied row-aligned from the CDX row to its
+        fetched page (multi-capture-safe, unlike a url join)."""
+        for batch in batches:
+            out: dict[str, list] = {
+                "url": [], "status": [], "html": [],
+                **{c: [] for c in through_cols},
+            }
+            for fname, group in batch.groupby("filename", sort=False):
+                through_vals = {c: group[c].tolist() for c in through_cols}
+                with open(fname, "rb") as f:
+                    for i, (url, off, length) in enumerate(
+                        zip(group["url"], group["offset"], group["length"])
+                    ):
+                        f.seek(int(off))
+                        raw = gzip.decompress(f.read(int(length)))
+                        rec = parse_warc_record(raw)
+                        if rec is None:
+                            continue
+                        headers, block = rec
+                        if headers.get("WARC-Type") != "response":
+                            continue
+                        body = split_http_response(block)
+                        if body is None:
+                            continue
+                        parts = block.split(b"\r\n", 1)[0].split(b" ")
+                        try:
+                            status = int(parts[1])
+                        except (IndexError, ValueError):
+                            continue
+                        out["url"].append(url)
+                        out["status"].append(status)
+                        out["html"].append(body)
+                        for c in through_cols:
+                            out[c].append(through_vals[c][i])
+            yield pd.DataFrame(out)
+
+    return fetch
 
 
 def warc_pages(
     cdx: DataFrame,
     meta_cols: tuple[str, ...] = (),
     warc_ts: str = "2024-07-22 12:00:00",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Reconstruct the engine's pages table from physical WARC files: the
     CDX drives range fetches whose HTTP bodies become the ``html`` column;
-    ``meta_cols`` (e.g. lang) join back from the CDX rows — so a user can
-    point the crawl engine at .warc.gz + CDX instead of a pre-built
-    parquet table (the reference's actual inputs)."""
-    fetched = cdx.select("url", "filename", "offset", "length").mapInPandas(
-        _page_batches, schema=_PAGE_SCHEMA
+    ``meta_cols`` (e.g. lang) are copied row-aligned from the CDX rows —
+    so a user can point the crawl engine at .warc.gz + CDX instead of a
+    pre-built parquet table (the reference's actual inputs).
+
+    ``ts_col`` names a CDX column holding each CAPTURE's timestamp
+    (string or timestamp): the real Common Crawl shape has multiple
+    captures per url, so the per-capture warc_ts must ride the CDX row,
+    not a url-keyed join; feed the result through
+    ``sources.pages.latest_capture`` to get the crawl-ready
+    one-capture-per-url table. Without ``ts_col`` every page gets the
+    constant ``warc_ts``."""
+    through = tuple(meta_cols) + ((ts_col,) if ts_col else ())
+    schema = StructType(
+        list(_PAGE_SCHEMA.fields) + [cdx.schema[c] for c in through]
     )
-    if meta_cols:
-        fetched = fetched.join(cdx.select("url", *meta_cols), "url", "left")
+    fetched = cdx.select("url", "filename", "offset", "length", *through).mapInPandas(
+        _page_batches(through), schema=schema
+    )
+    ts = (
+        F.col(ts_col).cast("timestamp")
+        if ts_col
+        else F.lit(warc_ts).cast("timestamp")
+    )
     return fetched.select(
         "url",
-        F.lit(warc_ts).cast("timestamp").alias("warc_ts"),
+        ts.alias("warc_ts"),
         "html",
         F.lit(None).cast("string").alias("text"),
         *meta_cols,

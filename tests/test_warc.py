@@ -183,3 +183,79 @@ def test_crawl_over_warc_reconstructed_pages_matches_direct(spark, tmp_path):
         r["canon_url"]: r["text"] for r in r_d
     }
     assert len(o_d) > 5
+
+
+def test_crawl_over_multicapture_warc_matches_direct(spark, tmp_path):
+    """The full Common-Crawl-shaped chain: a WARC+CDX corpus with THREE
+    captures per url (two older ones carrying corrupted html and non-200
+    status), reconstructed via warc_pages(ts_col=...) and deduped with
+    latest_capture, crawls identically to the clean single-capture
+    table — and the raw multi-capture table is rejected by the
+    uniqueness gate."""
+    import dataclasses
+
+    import pytest
+
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        pages_from_documents,
+    )
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.crawl import (
+        collect_outputs,
+        run_crawl,
+    )
+    from basic_common_crawl_pipeline_spark.sources.pages import latest_capture
+    from basic_common_crawl_pipeline_spark.sources.snapshots import SnapshotStore
+
+    pages, seeds, robots = pages_from_documents(spark, SF_SMALL)
+    # three captures per url: the real one is the NEWEST; older captures
+    # would corrupt the crawl if kept (stale html, 503 status)
+    caps = pages.select(
+        "url", "warc_ts", "html", "lang",
+        F.col("status").cast("int").alias("status"),
+    )
+    stale = None
+    for back in (1, 2):
+        older = caps.withColumn(
+            "warc_ts", F.col("warc_ts") - F.make_interval(days=F.lit(back))
+        ).withColumn("html", F.lit(b"<html><p>stale</p></html>")).withColumn(
+            "status", F.lit(503)
+        )
+        stale = older if stale is None else stale.unionByName(older)
+    multicap = caps.unionByName(stale).withColumn(
+        "wts", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    out_dir = str(tmp_path / "warc_mc")
+    cdx = warc.write_warc_corpus(
+        spark, multicap.repartition(4), out_dir,
+        status_col="status", through_cols=("wts", "lang"),
+    )
+    wpages = warc.warc_pages(cdx, meta_cols=("lang",), ts_col="wts")
+    assert wpages.count() == 3 * caps.count()  # all captures fetched back
+
+    cfg = CrawlConfig(
+        wave_seconds=16.0, max_waves=2, salt_partitions=4,
+        validate_pages_unique=True,
+    )
+    with pytest.raises(ValueError, match="duplicate urls"):
+        run_crawl(spark, wpages, seeds, robots, cfg,
+                  store=SnapshotStore(str(tmp_path / "reject")))
+    deduped = latest_capture(wpages)
+    outs = []
+    for name, p in (("direct", pages), ("warc_mc", deduped)):
+        store = SnapshotStore(str(tmp_path / f"store_{name}"))
+        run_crawl(
+            spark, p, seeds, robots,
+            dataclasses.replace(cfg, validate_pages_unique=False),
+            store=store,
+        )
+        outs.append(collect_outputs(spark, store))
+    (o_d, r_d, s_d), (o_w, r_w, s_w) = outs
+    assert [(r["seq"], r["url"]) for r in o_w] == [
+        (r["seq"], r["url"]) for r in o_d
+    ]
+    assert s_w == s_d
+    assert {r["canon_url"]: r["text"] for r in r_w} == {
+        r["canon_url"]: r["text"] for r in r_d
+    }
+    assert len(o_d) > 5
