@@ -51,8 +51,13 @@ def parse_robots_txt(
     any exist (the standard's most-specific-group rule)."""
     if not text:
         return default_delay, []
-    star: dict = {"delay": None, "disallow": []}
-    mine: dict = {"delay": None, "disallow": []}
+    # "present" tracks whether ANY User-agent line targeted the group:
+    # a specific-agent group whose only directive is an empty
+    # "Disallow:" (the standard allow-everything exemption) must still
+    # override the "*" group entirely — choosing by contributed rules
+    # alone would wrongly fall back to the star group's disallows
+    star: dict = {"delay": None, "disallow": [], "present": False}
+    mine: dict = {"delay": None, "disallow": [], "present": False}
     current: list[dict] = []
     last_was_agent = False
     for raw in text.splitlines():
@@ -71,6 +76,8 @@ def parse_robots_txt(
                 else [star] if ua == "*"
                 else []
             )
+            for group in target:
+                group["present"] = True
             if last_was_agent:
                 current.extend(target)  # stacked agents share one group
             else:
@@ -86,7 +93,7 @@ def parse_robots_txt(
                     group["delay"] = float(value)
                 except ValueError:
                     pass
-    chosen = mine if (mine["delay"] is not None or mine["disallow"]) else star
+    chosen = mine if mine["present"] else star
     delay = chosen["delay"] if chosen["delay"] is not None else default_delay
     return delay, chosen["disallow"]
 

@@ -91,3 +91,17 @@ def test_crawl_with_parsed_robots_matches_prebuilt(spark, tmp_path):
         (r["seq"], r["url"]) for r in o_b
     ]
     assert s_a == s_b and len(o_a) > 5
+
+
+def test_specific_group_with_only_empty_disallow_overrides_star():
+    """The allow-everything-for-this-bot exemption: a specific-agent group
+    whose only directive is an empty 'Disallow:' must override the '*'
+    group ENTIRELY (most-specific-group rule) — not fall back to the star
+    group's disallows."""
+    txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    delay, disallow = parse_robots_txt(txt, agent="mybot")
+    assert disallow == []          # mybot may crawl everything
+    assert delay == 1.0            # default — mybot's group sets none
+    # other agents still get the star group's total block
+    assert parse_robots_txt(txt, agent="otherbot")[1] == ["/"]
+    assert parse_robots_txt(txt)[1] == ["/"]
