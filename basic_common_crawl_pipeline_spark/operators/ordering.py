@@ -34,15 +34,29 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def global_seq_sorted(
-    df: DataFrame, order_cols: list[str], cache: list | None = None
+    df: DataFrame,
+    order_cols: list[str],
+    cache: list | None = None,
+    single_partition: bool = False,
 ) -> DataFrame:
     """Phase 1: range-repartition + sort on the total ``order_cols`` key,
     with a ``__pid`` physical-partition column for the offsets count.
     Pass a list as ``cache`` to persist the sorted intermediate (so the
     counting job materializes it and the assignment pass does NOT re-run
     the global sort); the handle is appended and the caller owns
-    unpersisting it."""
-    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    unpersisting it.
+
+    ``single_partition=True`` sorts in ONE task instead: the right
+    physical choice when the caller knows the input is broadcast-sized
+    (range partitioning pays a sampling pass + boundary computation that
+    a small sort doesn't need). Identical output either way — the
+    offsets/assignment phase is partition-count-agnostic."""
+    base = (
+        df.repartition(1)
+        if single_partition
+        else df.repartitionByRange(*order_cols)
+    )
+    sorted_df = base.sortWithinPartitions(*order_cols)
     sorted_df = sorted_df.withColumn("__pid", F.spark_partition_id())
     if cache is not None:
         sorted_df = sorted_df.persist()

@@ -289,11 +289,15 @@ def run_wave(
     #    ORDER_KEY. The offsets counts are folded into the wave's SINGLE
     #    driver action below (no dedicated collect); the sorted pass is
     #    cached so committing crawl_order doesn't re-run the sort.
+    #    Small waves sort in one task (like the salt skip): selected is
+    #    ≤ Σ budgets ≤ frontier rows, i.e. broadcast-sized, and range
+    #    partitioning would pay a sampling pass a small sort doesn't need.
     seq_cache: list = []
     sorted_sel = global_seq_sorted(
         selected.withColumn("wave", F.lit(wave)),
         order_cols=["priority", "surt", "canon_url"],
         cache=seq_cache,
+        single_partition=small_wave,
     )
 
     # 7. fetch + extract (J1 content side): html joined ONLY for selected;
