@@ -59,25 +59,36 @@ def parse_cluster_idx(lines: DataFrame, col: str = "line") -> DataFrame:
     )
 
 
-def parse_cdx_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+def parse_cdx_lines(
+    lines: DataFrame, col: str = "line", spacejoin_semantics: bool = False
+) -> DataFrame:
     """P2 + F5 + F6: parse raw CDX index lines.
 
     ``<surt> <ts> <json>`` split on the first two spaces — Rust
-    ``splitn(3, ' ')`` semantics (rust/src/commoncrawl.rs:79-86), NOT the
-    Python reference's space-destroying ``"".join(values[2:])``
-    (python/batcher.py:59, divergence noted in SURVEY.md §2.2 P2).
+    ``splitn(3, ' ')`` semantics (rust/src/commoncrawl.rs:79-86), the
+    canonical default. ``spacejoin_semantics=True`` reproduces the
+    Python reference's parse bug-for-bug instead: it splits the WHOLE
+    line on spaces and re-joins the JSON tokens with the empty string
+    (``"".join(values[2:])``, python/batcher.py:58-59), which deletes
+    every space INSIDE JSON string values (e.g. a mime of
+    ``text/html; charset=utf-8`` comes out ``text/html;charset=utf-8``)
+    — equivalent to stripping ``' '`` from the JSON slice, which is how
+    it is expressed here.
     Blank lines dropped (F5: python/batcher.py:56-57); lines whose JSON
     fails to parse yield null metadata and are dropped (F6 — Go-tolerant
     semantics, golang/batcher/batcher.go:95-102, vs the Rust panic).
     """
     parts = F.split(F.col(col), " ", 3)
+    json_part = parts.getItem(2)
+    if spacejoin_semantics:
+        json_part = F.regexp_replace(json_part, " ", "")
     return (
         lines.filter(F.col(col) != "")
         .filter(F.size(parts) >= 3)
         .select(
             parts.getItem(0).alias("surt_url"),
             parts.getItem(1).alias("timestamp"),
-            F.from_json(parts.getItem(2), CDX_METADATA_SCHEMA).alias("metadata"),
+            F.from_json(json_part, CDX_METADATA_SCHEMA).alias("metadata"),
         )
         .filter(F.col("metadata").isNotNull() & F.col("metadata.url").isNotNull())
     )

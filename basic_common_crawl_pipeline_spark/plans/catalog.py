@@ -413,6 +413,74 @@ def p2_parse_cdx_eligible(spark, sf_dir):
 
 
 @register(
+    "p2_parse_cdx_spacejoin",
+    """
+    WITH lines AS (
+      SELECT printf('com,shop%d)/order %s ',
+                    o_custkey % 100, strftime(o_orderdate, '%Y%m%d%H%M%S'))
+             || to_json(struct_pack(
+                  url := printf('https://shop%d.example/order/%d',
+                                o_custkey % 100, o_orderkey),
+                  status := '200',
+                  mime := 'text/html; charset=utf-8',
+                  languages := 'eng, deu')) AS line
+      FROM orders
+    ),
+    p AS (
+      SELECT string_split(line, ' ')[1] AS surt_url,
+             string_split(line, ' ')[2] AS timestamp,
+             array_to_string(string_split(line, ' ')[3:], '') AS j
+      FROM lines
+    )
+    SELECT surt_url, timestamp,
+           json_extract_string(j, '$.url') AS url,
+           json_extract_string(j, '$.mime') AS mime,
+           json_extract_string(j, '$.languages') AS languages
+    FROM p
+    """,
+)
+def p2_parse_cdx_spacejoin(spark, sf_dir):
+    """P2, Python-reference bug-compat variant: the Python batcher splits
+    the WHOLE CDX line on spaces and re-joins the JSON tokens with ''
+    (python/batcher.py:58-59), deleting every space inside JSON string
+    values — a mime of 'text/html; charset=utf-8' parses as
+    'text/html;charset=utf-8' and 'eng, deu' as 'eng,deu'. The oracle
+    reproduces the join literally (array_to_string(tokens[3:], ''));
+    the canonical splitn-3 parse lives in p2_parse_cdx_eligible."""
+    orders = load(spark, sf_dir, "orders")
+    meta_json = F.to_json(
+        F.struct(
+            F.format_string(
+                "https://shop%d.example/order/%d",
+                F.col("o_custkey") % 100,
+                F.col("o_orderkey"),
+            ).alias("url"),
+            F.lit("200").alias("status"),
+            F.lit("text/html; charset=utf-8").alias("mime"),
+            F.lit("eng, deu").alias("languages"),
+        )
+    )
+    lines = orders.select(
+        F.concat(
+            F.format_string(
+                "com,shop%d)/order %s ",
+                F.col("o_custkey") % 100,
+                F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+            ),
+            meta_json,
+        ).alias("line")
+    )
+    parsed = parse_cdx_lines(lines, spacejoin_semantics=True)
+    return parsed.select(
+        "surt_url",
+        "timestamp",
+        F.col("metadata.url").alias("url"),
+        F.col("metadata.mime").alias("mime"),
+        F.col("metadata.languages").alias("languages"),
+    )
+
+
+@register(
     "f1_language_filter",
     """
     SELECT doc_id, lang FROM documents

@@ -149,3 +149,23 @@ def test_publish_all_urls_batching_arithmetic(spark, tmp_path):
     assert len(files) == 3  # ceil(6 / 2) = 3 publishes
     back = spark.read.parquet(qdir)
     assert sorted((r["chunk"], r["url"]) for r in back.collect()) == sorted(rows)
+
+
+def test_spacejoin_semantics_delete_spaces_inside_json_values(spark):
+    """Python-reference bug-compat (python/batcher.py:58-59): the
+    space-join parse deletes spaces INSIDE JSON string values; the
+    canonical splitn-3 parse preserves them."""
+    line = (
+        'com,ex)/a 20240101000000 {"url": "https://ex.com/a", '
+        '"status": "200", "mime": "text/html; charset=utf-8", '
+        '"languages": "eng, deu"}'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    canonical = parse_cdx_lines(df).select("metadata.mime", "metadata.languages").first()
+    assert canonical["mime"] == "text/html; charset=utf-8"
+    assert canonical["languages"] == "eng, deu"
+    buggy = parse_cdx_lines(df, spacejoin_semantics=True).select(
+        "metadata.mime", "metadata.languages"
+    ).first()
+    assert buggy["mime"] == "text/html;charset=utf-8"
+    assert buggy["languages"] == "eng,deu"
