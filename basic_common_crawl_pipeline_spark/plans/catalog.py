@@ -1757,11 +1757,18 @@ def pages_from_documents(spark, sf_dir, replicate: int = 1, seeds_mod: int = 29)
         F.when(F.col("doc_id") % 10 < 8, 200).otherwise(404).alias("status"),
         F.lit("text/html").alias("mime"),
         F.md5(F.col("text")).alias("digest"),
-    ).repartition(F.col("url"))
+    ).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("url")
+    )
     # ^ hash-distribute by url: the single-file parquet × crossJoin lineage
     # otherwise yields 1-2 partitions and every downstream stage (extract,
     # fetch join) runs near-serial no matter how many cores exist — the
-    # local analog of bucketing the pages table by url at cluster scale
+    # local analog of bucketing the pages table by url at cluster scale.
+    # The count is EXPLICIT (= shuffle partitions, so the per-wave
+    # shuffle_hash joins stay exchange-free on this side): a bare
+    # repartition(col) is AQE-coalesced by bytes, and at 32 cores the
+    # ~21 MB/partition corpus coalesces to ~10 partitions — capping every
+    # downstream extract/join stage at 10 of 32 cores
     seeds = docs.filter(F.col("doc_id") % seeds_mod == 0).select(
         F.format_string(
             "http://%s.test/doc/%d", F.col("source"), F.col("doc_id")

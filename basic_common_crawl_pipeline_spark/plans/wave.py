@@ -39,8 +39,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions.extract import extract_text
-from ..functions.links import extract_links
-from ..functions.urls import canonicalize_url, host_of, surt
+from ..functions.links import extract_links_rich
+from ..functions.urls import canon_host_surt
 from ..operators.ordering import global_seq_assign, global_seq_sorted
 from ..operators.politeness import rank_per_host_topk
 from .config import CrawlConfig
@@ -65,31 +65,36 @@ _EXTRACT_SCHEMA = StructType(
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], through_cols: tuple[str, ...] = ()
+) -> Iterator[pd.DataFrame]:
     """html → (text, out-links with host+surt); the single hot-path Python
     crossing per wave. Uses the same scalar core as the oracle →
     byte-identity by construction (BASELINE.json per-row invariant).
     host/surt are computed here rather than in a second pandas stage —
-    one Arrow crossing instead of two."""
+    one Arrow crossing instead of two.
+
+    ``through_cols`` ride along unchanged (a few small per-row values
+    through Arrow): carrying host/priority THROUGH the extract instead of
+    re-joining extracted back to ``selected`` removes a whole exchange of
+    the text-fat extracted rows per wave — the same through-column rule
+    the WARC fetch path uses (sources/warc.py)."""
     for batch in batches:
         texts, links, nbytes = [], [], []
         for url, html in zip(batch["canon_url"], batch["html"]):
             texts.append(extract_text(html))
             links.append(
                 [
-                    {"url": l, "l_host": host_of(l), "l_surt": surt(l)}
-                    for l in extract_links(html, url)
+                    {"url": c, "l_host": h, "l_surt": s}
+                    for c, h, s in extract_links_rich(html, url)
                 ]
             )
             nbytes.append(len(html) if html is not None else 0)
-        yield pd.DataFrame(
-            {
-                "canon_url": batch["canon_url"],
-                "text": texts,
-                "links": links,
-                "html_bytes": nbytes,
-            }
-        )
+        out = {"canon_url": batch["canon_url"]}
+        for c in through_cols:
+            out[c] = batch[c]
+        out.update({"text": texts, "links": links, "html_bytes": nbytes})
+        yield pd.DataFrame(out)
 
 
 _FRONTIER_SCHEMA = StructType(
@@ -103,16 +108,17 @@ _FRONTIER_SCHEMA = StructType(
 
 
 def _canonize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # one Arrow crossing for canon+host+surt (three separate pandas stages
-    # would each pay runner startup — measurable at wave granularity)
+    # one Arrow crossing AND one urlsplit for canon+host+surt (the fused
+    # scalar core; the composed canonicalize/host_of/surt parse 4× per URL)
     for batch in batches:
-        canon = batch["url"].map(canonicalize_url)
+        fused = batch["url"].map(canon_host_surt)
+        canon = fused.map(lambda t: t[0])
         keep = canon.notna()
         yield pd.DataFrame(
             {
                 "canon_url": canon[keep],
-                "host": canon[keep].map(host_of),
-                "surt": canon[keep].map(surt),
+                "host": fused[keep].map(lambda t: t[1]),
+                "surt": fused[keep].map(lambda t: t[2]),
                 # null priority arrives as NaN (float64); default to 0 like
                 # the oracle's s.get("priority", 0) instead of raising
                 "priority": batch["priority"][keep].fillna(0).astype("int32"),
@@ -120,17 +126,25 @@ def _canonize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
+def frontier_from_seeds(seeds: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Seed URLs → canonical frontier rows (canon_url, host, surt, priority).
 
     The repartition before the canonize stage matters: seed lists often
     arrive as one file / one in-memory partition, which would run the
     Python canonicalization serially no matter how many cores exist —
     hash-distributing the (tiny) url strings first makes the first wave's
-    frontier build parallel."""
+    frontier build parallel. The partition count is EXPLICIT: a bare
+    ``repartition(col)`` is AQE-coalesced back to one partition (seed
+    lists are a few MB — far under the 64 MB advisory size), which
+    re-serializes the Python stage; measured at 83k seeds that single
+    task costs ~5 s, ~25% of a 3-wave crawl's wall. An explicit
+    numPartitions is exempt from AQE coalescing, so the stage stays as
+    wide as the cluster."""
+    if parallelism is None:
+        parallelism = seeds.sparkSession.sparkContext.defaultParallelism
     return (
         seeds.select("url", F.col("priority").cast("int").alias("priority"))
-        .repartition(F.col("url"))
+        .repartition(parallelism, F.col("url"))
         .mapInPandas(_canonize_batches, schema=_FRONTIER_SCHEMA)
         .groupBy("canon_url")
         .agg(
@@ -302,22 +316,33 @@ def run_wave(
 
     # 7. fetch + extract (J1 content side): html joined ONLY for selected;
     #    broadcast the selected set → the fat html column never shuffles
-    #    (selected ⊆ index hits, so inner ≡ left here)
+    #    (selected ⊆ index hits, so inner ≡ left here). host/surt/priority
+    #    ride THROUGH the fetch join and the Arrow extract stage: the
+    #    alternative — extract then re-join back to selected — exchanges
+    #    the text-fat extracted rows a second time every wave (mapInPandas
+    #    output partitioning is unknown to the planner, so that join
+    #    re-shuffles BOTH sides).
+    from functools import partial
+
+    through = ("host", "surt", "priority")
     pages_html = pages.select(F.col("url").alias("canon_url"), "html")
     if use_broadcast:
-        fetched = pages_html.join(
-            F.broadcast(selected.select("canon_url")), "canon_url"
-        )
+        fetched = pages_html.join(F.broadcast(selected), "canon_url")
     else:
-        fetched = (
-            selected.select("canon_url")
-            .hint("shuffle_hash")
-            .join(pages_html, "canon_url", "left")
+        fetched = selected.hint("shuffle_hash").join(
+            pages_html, "canon_url", "left"
         )
+    extract_schema = StructType(
+        [_EXTRACT_SCHEMA[0]]
+        + [selected.schema[c] for c in through]
+        + list(_EXTRACT_SCHEMA[1:])
+    )
     extracted = (
-        fetched.select("canon_url", "html")
-        .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
-        .join(selected, "canon_url")
+        fetched.select("canon_url", *through, "html")
+        .mapInPandas(
+            partial(_extract_batches, through_cols=through),
+            schema=extract_schema,
+        )
         .persist()
     )
     # per-partition lineage (north_rule M4): which physical partition
