@@ -227,6 +227,108 @@ def cosine_topk_lsh(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the second ANN scale path
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 23
+
+
+def ivf_centroids(
+    n_lists: int = 16, dim: int = 64, seed: int = IVF_SEED
+) -> list[list[float]]:
+    """Fixed seeded Gaussian coarse centroids, rounded to 4 decimals so
+    the identical literals embed in the DuckDB oracle. A production IVF
+    trains centroids with k-means on a sample; the *index structure* —
+    assignment, inverted lists, nprobe probing — is identical, and fixed
+    centroids keep the operator fully deterministic and oracle-checkable
+    (the same trade the LSH planes make above)."""
+    rnd = random.Random(seed)
+    return [
+        [round(rnd.gauss(0.0, 1.0), 4) for _ in range(dim)]
+        for _ in range(n_lists)
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Coarse quantization: ``out_col`` = argmax_k round4(cos(v, c_k)),
+    ties → smallest k. Pure Column arithmetic (one fused projection, no
+    UDF, no shuffle): the scores land in an array and
+    ``array_position(scores, array_max(scores))`` picks the first
+    maximum — round4 before comparison makes the argmax cross-engine
+    exact. At 10^10 vectors this is the partitioning/clustering key of
+    the physical layout (write partitioned by ``list_id`` exactly like
+    ``write_sig_partitioned`` does for signatures)."""
+    if centroids is None:
+        centroids = ivf_centroids()
+    scores = []
+    for c in centroids:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        scores.append(
+            round4(
+                _dot(F.col(vec_col), clit)
+                / (_norm(F.col(vec_col)) * _norm(clit))
+            )
+        )
+    arr = F.array(*scores)
+    return df.withColumn(
+        out_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    )
+
+
+def _py_round4(x: float) -> float:
+    """Scalar twin of functions/numeric.py::round4 (identical IEEE ops)."""
+    import math
+
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` inverted lists whose
+    centroids are closest to the query (driver-side arithmetic on
+    n_lists×dim floats — metadata, not data), then exact cosine rank
+    within the probed lists. With 16 lists and nprobe=4 the scan covers
+    ~25% of a balanced corpus; at 10^10 vectors lay the table out
+    partitioned by ``list_id`` so the probe is partition pruning, not a
+    row filter. Returns (id, cos) ordered by (cos desc, id)."""
+    if centroids is None:
+        centroids = ivf_centroids()
+    qrows = df.filter(F.col(id_col) == query_id).select(vec_col).take(1)
+    if not qrows:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec = [float(x) for x in qrows[0][0]]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    cscores = []
+    for kidx, c in enumerate(centroids):
+        dot = 0.0
+        for a, b in zip(qvec, c):
+            dot += a * b
+        cnorm = sum(x * x for x in c) ** 0.5
+        cscores.append((_py_round4(dot / (qnorm * cnorm)), kidx))
+    probes = [
+        kidx
+        for _, kidx in sorted(cscores, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    probed = assigned.filter(F.col("list_id").isin(probes)).drop("list_id")
+    return cosine_topk(probed, qvec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
 # signature-prefix physical layout: the probe as PARTITION PRUNING
 # ---------------------------------------------------------------------------
 

@@ -1231,6 +1231,109 @@ def emb_neardup_pairs(spark, sf_dir):
     )
 
 
+# IVF coarse quantization (the second ANN scale path next to LSH): the
+# SAME seeded centroids embed as literals in the Spark plan and the
+# DuckDB oracle, like the hyperplanes above
+_IVF_CENTROIDS = similarity.ivf_centroids(16, 64)
+
+_SQL_CENTS = ", ".join(
+    f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+    for i, c in enumerate(_IVF_CENTROIDS)
+)
+
+_SQL_IVF_ASSIGN = f"""
+    cents AS (SELECT * FROM (VALUES {_SQL_CENTS}) c(cent_id, w)),
+    cd AS (
+      SELECT e.vec_id, c.cent_id,
+             {_r4(
+                 "sum(CAST(e.embedding[s.i] AS DOUBLE) * c.w[s.i])"
+                 " / (sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE)"
+                 " * CAST(e.embedding[s.i] AS DOUBLE)))"
+                 " * sqrt(sum(c.w[s.i] * c.w[s.i])))"
+             )} AS cos
+      FROM embeddings e
+      CROSS JOIN cents c
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cent_id AS INT) AS list_id
+      FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id
+               ) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_assign",
+    f"""
+    WITH {_SQL_IVF_ASSIGN}
+    SELECT vec_id, list_id FROM assign
+    """,
+)
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: every vector's inverted-list id =
+    argmax over 16 fixed seeded centroids of round4(cosine), ties to the
+    smallest centroid id. Pure Column arithmetic (fused projection, no
+    UDF/shuffle); at scale ``list_id`` is the table's partition key —
+    the IVF analog of the LSH signature-prefix layout."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, _IVF_CENTROIDS).select(
+        "vec_id", "list_id"
+    )
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    f"""
+    WITH {_SQL_IVF_ASSIGN},
+    qe AS (SELECT embedding FROM embeddings WHERE vec_id = 2),
+    qd AS (
+      SELECT c.cent_id,
+             {_r4(
+                 "sum(CAST(qe.embedding[s.i] AS DOUBLE) * c.w[s.i])"
+                 " / (sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE)"
+                 " * CAST(qe.embedding[s.i] AS DOUBLE)))"
+                 " * sqrt(sum(c.w[s.i] * c.w[s.i])))"
+             )} AS cos
+      FROM cents c CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY c.cent_id
+    ),
+    probes AS (SELECT cent_id FROM qd ORDER BY cos DESC, cent_id LIMIT 4),
+    probed AS (
+      SELECT a.vec_id FROM assign a JOIN probes p ON a.list_id = p.cent_id
+    ),
+    d AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      JOIN probed USING (vec_id)
+      CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, {_r4("dot / (ne * nq)")} AS cos
+    FROM d ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF approximate top-10 vs vec_id 2: probe the nprobe=4 closest of
+    16 inverted lists (driver-side centroid arithmetic — metadata, not
+    data), exact cosine rank within the probed ~25% of the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, query_id=2, k=10, nprobe=4, centroids=_IVF_CENTROIDS
+    )
+
+
 # ===========================================================================
 # G. streaming (rows-also-SQL-checkable windowed aggregation)
 # ===========================================================================

@@ -232,6 +232,78 @@ def test_lsh_topk_probes_subset_and_ranks_query_first(spark):
     assert probed < emb.count()
 
 
+def test_ivf_assign_deterministic_and_complete(spark):
+    """Every vector lands in exactly one of the 16 inverted lists, the
+    assignment is stable across partitionings, and each vector's list
+    really is its argmax-cosine centroid (numpy cross-check with the
+    same round4-before-argmax rule)."""
+    import numpy as np
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(16, 64)
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, cents).select("vec_id", "list_id").collect()
+    }
+    assert len(got) == emb.count()
+    assert set(got.values()) <= set(range(16))
+    again = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb.repartition(7), cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert got == again
+    rows = emb.select("vec_id", "embedding").collect()
+    C = np.array(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in rows:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        cos = np.floor((Cn @ (v / np.linalg.norm(v))) * 10000 + 0.5) / 10000
+        assert got[r["vec_id"]] == int(np.argmax(cos)), r["vec_id"]
+
+
+def test_ivf_topk_probes_subset_and_recall(spark):
+    """nprobe=4/16 scans a strict subset; the query ranks itself first;
+    top-10 recall vs brute force stays useful (fixed random centroids
+    are a weak quantizer — the structure, not the recall, is the point;
+    k-means training would raise it)."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(16, 64)
+    top = ivf_topk(emb, query_id=1, k=10, nprobe=4, centroids=cents).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos"] == 1.0
+    probed_lists = ivf_assign(emb, cents).groupBy("list_id").count().count()
+    assert probed_lists > 4  # the corpus spans more lists than we probe
+    qvec = list(
+        emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    )
+    brute = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in top]
+    overlap = len(set(brute) & set(approx)) / 10
+    assert overlap >= 0.3, f"IVF top-10 overlap {overlap}"
+
+
+def test_ivf_topk_unknown_query_raises(spark):
+    import pytest as _pytest
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import ivf_topk
+
+    with _pytest.raises(ValueError, match="not found"):
+        ivf_topk(_emb(spark), query_id=10**9)
+
+
 def test_politeness_unsalted_equals_salted(spark):
     """salt_partitions<=1 (the small-wave fast path) returns the exact
     same per-host top-k as the salted two-phase shape."""
