@@ -128,6 +128,13 @@ def canon_host_surt(
     if not host:
         return (None, None, None)
     host = host.lower().rstrip(".")
+    if not host:
+        # a host of only dots strips to empty: canonicalize_url still
+        # emits the degenerate canonical form ("http:///..."), but
+        # host_of/surt re-parse it, find no hostname, and return None —
+        # delegate so the fused form stays exactly equal to the
+        # composition on this edge (pinned by tests/test_urls.py)
+        return (canonicalize_url(url), None, None)
     netloc = f"[{host}]" if ":" in host else host
     nondefault_port = port is not None and port != _DEFAULT_PORTS.get(scheme)
     if nondefault_port:

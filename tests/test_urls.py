@@ -43,6 +43,12 @@ TRICKY = [
     "relative/not/a/url",
     "//protocol-relative.example/x",
     "http://xn--nxasmq6b.example/a",
+    # hosts that rstrip('.') to empty: canonicalize_url still yields a
+    # degenerate canonical form, host_of/surt of it are None
+    "http://./",
+    "http://../a",
+    "http://.../",
+    "http://.:8080/x",
 ]
 
 
@@ -59,9 +65,14 @@ def test_fused_equals_composition_on_tricky_urls():
 
 
 def test_fused_idempotent_on_canonical():
+    # only canonical forms with a surviving host: a dots-only host
+    # canonicalizes to "http:///" which re-canonicalizes to None — the
+    # composition itself is non-idempotent there, and the engine (like
+    # the oracle) canonicalizes each URL exactly once, so only the
+    # host-bearing forms ever make the round trip
     for url in TRICKY:
         canon, host, key = canon_host_surt(url)
-        if canon is not None:
+        if canon is not None and host is not None:
             assert canon_host_surt(canon) == (canon, host, key), url
 
 
