@@ -1,0 +1,99 @@
+"""Link-graph analytics over crawl output (north-rule addition; the
+reference discards page content entirely — python/worker.py:26-27
+"TODO: process text" — so link-graph ranking has no reference analog,
+but it is what a real crawler derives its fetch priority from).
+
+``pagerank_int`` is PageRank in **fixed-point integer arithmetic**:
+every per-iteration quantity is a BIGINT (damping applied as
+``num/den`` integer division, contributions as ``floor(pr/out_degree)``
+summed exactly). Floating-point PageRank cannot be oracle-checked for
+value-hash equality across engines — double SUM order differs between
+Spark's partial aggregation and DuckDB's — while integer sums are
+associative, so the fixed-point variant is EXACT cross-engine at any
+parallelism (the same trade functions/numeric.py::round4 makes for
+ratios, taken to its exact conclusion).
+
+Scale notes (10^11-edge graph):
+- each iteration is one shuffle join (edges ⋈ ranks on src — at scale,
+  pre-partition both by src so the join reuses the layout) plus one
+  aggregation keyed by dst; nothing driver-side except the loop bound;
+- the rank frame doubles in lineage depth per iteration — for deep
+  iteration counts truncate with ``localCheckpoint`` every few rounds
+  (the crawl loop does the same; 5 iterations needs nothing);
+- dangling nodes (no out-links) simply contribute nothing — their mass
+  leaks, matching the simple formulation; nodes with no in-links settle
+  at the base rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = PR_SCALE,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-point PageRank: returns (node, pr) BIGINT ranks after
+    ``iterations`` rounds of
+
+        pr'[v] = base + (damp_num * Σ_{(u,v)∈E} pr[u] // deg(u)) // damp_den
+
+    with ``base = scale * (damp_den - damp_num) // damp_den``. ``nodes``
+    defaults to every vertex appearing in ``edges`` (pass the full node
+    frame when isolated vertices must be ranked too). Duplicate edges
+    should be deduplicated by the caller (out-degree counts rows)."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src_col).alias("node"))
+            .unionByName(edges.select(F.col(dst_col).alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    outdeg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    base = scale * (damp_den - damp_num) // damp_den
+    pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e["__src"] == pr["node"])
+            .join(outdeg, "__src")
+            # floor of a double quotient of BIGINTs is exact here: the
+            # true quotient is ≥ 1/deg away from the next integer, far
+            # beyond double rounding error — same op in the oracle
+            .select(
+                F.col("__dst").alias("__node"),
+                F.floor(F.col("pr") / F.col("__deg")).cast("long").alias("__c"),
+            )
+            .groupBy("__node")
+            .agg(F.sum("__c").alias("__contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["__node"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damp_num)
+                        * F.coalesce(F.col("__contrib"), F.lit(0))
+                        / F.lit(damp_den)
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr

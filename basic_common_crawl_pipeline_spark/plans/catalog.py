@@ -1335,6 +1335,79 @@ def ann_cosine_topk_ivf(spark, sf_dir):
 
 
 # ===========================================================================
+# F2. link-graph analytics (iterative): fixed-point PageRank
+# ===========================================================================
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled fixed-point PageRank over the derived link graph. The
+    ENGINE builds edges by really extracting <a href> links from the
+    generated html (mapInPandas); the ORACLE re-derives the same edges
+    from the generator's arithmetic (targets (d+1), (13d+7), (31d+3)
+    mod n on host src{t%20} — the same re-derivation crawl_metrics'
+    oracle uses), then runs the identical integer recurrence. All
+    arithmetic is BIGINT (// division), so cross-engine equality is
+    exact — double SUM order would differ between engines."""
+    prev = "pr0"
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    pr{i} AS (
+      SELECT p.v,
+             CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS pr
+      FROM pr0 p LEFT JOIN (
+        SELECT e.t AS v, SUM(q.pr // o.d) AS contrib
+        FROM edges e
+        JOIN {prev} q ON q.v = e.s
+        JOIN outdeg o ON o.s = e.s
+        GROUP BY e.t
+      ) c ON c.v = p.v
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS s, (doc_id + 1) % nn.n AS t FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 7) % nn.n FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+    ),
+    edges AS (SELECT DISTINCT s, t FROM e0),
+    outdeg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+    pr0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS pr FROM documents),
+    {','.join(its)}
+    SELECT printf('http://src%d.test/doc/%d', v % 20, v) AS url, pr
+    FROM {prev}
+    """
+
+
+@register("link_pagerank", _pagerank_oracle(5))
+def link_pagerank(spark, sf_dir):
+    """Iterative fixed-point PageRank (5 rounds, damping 85/100, scale
+    10^6) over the link graph EXTRACTED from the derived pages corpus —
+    real <a href> parsing per page (the crawl's Arrow extract stage),
+    exploded to an edge list, deduplicated per page by extract_links'
+    first-occurrence rule. In-degree-derived rank is what a production
+    crawler feeds back into frontier priority; per iteration this is one
+    shuffle join + one aggregation (operators/graph.py scale notes)."""
+    from ..operators.graph import pagerank_int
+    from .wave import _EXTRACT_SCHEMA, _extract_batches
+
+    pages, _seeds, _robots = pages_from_documents(spark, sf_dir, replicate=1)
+    edges = (
+        pages.select(F.col("url").alias("canon_url"), "html")
+        .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+        .select(F.col("canon_url").alias("src"), F.explode("links").alias("l"))
+        .select("src", F.col("l.url").alias("dst"))
+    )
+    nodes = pages.select("url")
+    return pagerank_int(edges, iterations=5, nodes=nodes).select(
+        F.col("node").alias("url"), "pr"
+    )
+
+
+# ===========================================================================
 # G. streaming (rows-also-SQL-checkable windowed aggregation)
 # ===========================================================================
 

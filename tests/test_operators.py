@@ -304,6 +304,37 @@ def test_ivf_topk_unknown_query_raises(spark):
         ivf_topk(_emb(spark), query_id=10**9)
 
 
+def test_pagerank_cycle_fixed_point_and_star(spark):
+    """Hand-checked fixed-point PageRank: a 3-cycle is a fixed point at
+    the full scale (contrib = pr/1, pr' = 150000 + 850000); a star's hub
+    accumulates the leaves' mass while the leaves (no in-links) settle
+    at the base rank after one round."""
+    from basic_common_crawl_pipeline_spark.operators.graph import pagerank_int
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank_int(cycle, iterations=5).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+    star = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["pr"] for r in pagerank_int(star, iterations=2).collect()}
+    # round 1: leaves -> 150000 (no in-links); hub -> 150000 + 85*3e6/100
+    # round 2: hub <- 3 leaves at 150000: 150000 + (85*450000)//100
+    assert got["l1"] == got["l2"] == got["l3"] == 150_000
+    assert got["hub"] == 150_000 + (85 * 3 * 150_000) // 100
+
+    # determinism across partitionings (integer sums are associative)
+    again = {
+        r["node"]: r["pr"]
+        for r in pagerank_int(star.repartition(5), iterations=2).collect()
+    }
+    assert got == again
+
+
 def test_politeness_unsalted_equals_salted(spark):
     """salt_partitions<=1 (the small-wave fast path) returns the exact
     same per-host top-k as the salted two-phase shape."""
