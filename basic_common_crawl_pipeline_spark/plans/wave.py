@@ -360,14 +360,19 @@ def run_wave(
     # candidates are unique by canon_url (frontier is grouped) and disjoint
     # from seen (anti-joined in step 1), so the union needs NO distinct —
     # skipping it saves a full-seen-set shuffle every wave.
-    # localCheckpoint(eager=False): caches like persist() AND truncates the
-    # logical plan to a leaf immediately — without it the next wave's seen
-    # plan nests this wave's whole plan, compounding every wave until the
-    # driver chokes on plan strings. Lazy: it materializes inside the
-    # wave's single action below, not in a job of its own.
+    # persist() here, localCheckpoint AFTER the wave's action (below):
+    # a lazy localCheckpoint leaf materializes as its OWN SQL execution
+    # the moment a downstream action is planned — with two such leaves
+    # the "one action" wave was really three serial executions, each
+    # paying AQE replanning and sub-job boundaries. Persisting instead
+    # lets the single tags job below materialize everything in ONE
+    # execution; the checkpoint (still needed: without a plan leaf the
+    # next wave's seen plan nests this wave's whole plan, compounding
+    # until the driver chokes on plan strings) is then taken FROM the
+    # hot cache, a cheap block copy.
     processed = cand.filter(F.col("__class") != "eligible").select(
         "canon_url"
-    ).unionByName(selected.select("canon_url")).localCheckpoint(eager=False)
+    ).unionByName(selected.select("canon_url")).persist()
     new_seen = seen.unionByName(processed)
 
     # 9. discovery: out-links, BFS priority, min-priority merge with deferred
@@ -386,9 +391,8 @@ def run_wave(
     # one groupBy, not two: anti-join the exploded links against seen
     # first (all-or-nothing per canon_url, so min-priority is unchanged),
     # then merge with deferred in a single min-aggregation — saves a full
-    # shuffle+agg stage per wave vs group→anti→union→group
-    # lazy localCheckpoint: plan-leaf + cached blocks, materialized inside
-    # the single action below (the frontier-size count reads every row)
+    # shuffle+agg stage per wave vs group→anti→union→group.
+    # persist now, checkpoint-from-cache after the action (see step 8).
     new_frontier = (
         discovered.join(new_seen, "canon_url", "left_anti")
         .unionByName(deferred)
@@ -399,7 +403,7 @@ def run_wave(
             F.min("priority").cast("int").alias("priority"),
         )
         .select("canon_url", "host", "surt", "priority")
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # 10. the wave's ONE driver action: a union of single-column tag rows
@@ -481,12 +485,19 @@ def run_wave(
             "selected": n_selected,
             "frontier_size": frontier_size,
         }
+    # lineage truncation, AFTER the single action: the lazy checkpoints
+    # wrap the now-hot caches, so their materialization (triggered by the
+    # next wave's action, or the background commit) is a block copy —
+    # not a re-run, and not its own expensive execution mid-wave. The
+    # caches retire one wave late (run_crawl), after these leaves exist.
+    processed_leaf = processed.localCheckpoint(eager=False)
+    frontier_leaf = new_frontier.localCheckpoint(eager=False)
     return WaveOutput(
         crawl_order=crawl_order,
         results=results,
-        new_frontier=new_frontier,
-        new_seen=new_seen,
-        processed=processed,
+        new_frontier=frontier_leaf,
+        new_seen=seen.unionByName(processed_leaf),
+        processed=processed_leaf,
         metrics=metrics,
-        cached=(cand, ranked, extracted, *seq_cache),
+        cached=(cand, ranked, extracted, processed, new_frontier, *seq_cache),
     )
