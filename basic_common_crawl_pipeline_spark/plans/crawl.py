@@ -170,10 +170,11 @@ def run_crawl(
       atomically after all of a snapshot's writes, so crash/resume
       semantics are unchanged (an interrupted wave replays
       deterministically from the last committed snapshot);
-    - lineage truncation is lazy: ``run_wave`` returns
-      ``localCheckpoint(eager=False)`` leaves for frontier/processed, and
-      ``seen`` is rebased onto the committed parquet each wave — no
-      dedicated checkpoint job.
+    - lineage truncation is free of extra executions: ``run_wave``
+      persists frontier/processed inside its single action, then hands
+      back ``localCheckpoint(eager=False)`` leaves wrapped around the
+      hot caches — materializing them later is a zero-job block copy —
+      and ``seen`` is rebased onto the committed parquet each wave.
 
     With ``resume=False`` the store directory must not already contain a
     crawl (a fresh run over an old CURRENT would splice the old run's
