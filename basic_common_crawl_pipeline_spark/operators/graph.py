@@ -44,16 +44,27 @@ def pagerank_int(
     src_col: str = "src",
     dst_col: str = "dst",
     nodes: DataFrame | None = None,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """Fixed-point PageRank: returns (node, pr) BIGINT ranks after
     ``iterations`` rounds of
 
-        pr'[v] = base + (damp_num * Σ_{(u,v)∈E} pr[u] // deg(u)) // damp_den
+        pr'[v] = base + (damp_num * Σ_{(u,v)∈E} pr[u] div deg(u)) div damp_den
 
     with ``base = scale * (damp_den - damp_num) // damp_den``. ``nodes``
     defaults to every vertex appearing in ``edges`` (pass the full node
     frame when isolated vertices must be ranked too). Duplicate edges
-    should be deduplicated by the caller (out-degree counts rows)."""
+    should be deduplicated by the caller (out-degree counts rows).
+
+    All division is INTEGRAL (`div`) end-to-end — routing it through a
+    double quotient + floor would silently lose exactness once values
+    pass 2^52 (a 10^8-node graph at scale 10^6 gets there), breaking
+    both cross-engine equality and partitioning-independence. The rank
+    frame is lineage-truncated every ``checkpoint_every`` iterations
+    (CLAUDE.md: iterative loops must truncate or the driver chokes on
+    plan strings at deep iteration counts); the default never fires at
+    the usual 5 rounds. Callers should persist/checkpoint ``edges``
+    when its lineage is expensive (it is embedded ~2× per iteration)."""
     if nodes is None:
         nodes = (
             edges.select(F.col(src_col).alias("node"))
@@ -66,16 +77,13 @@ def pagerank_int(
     outdeg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
     base = scale * (damp_den - damp_num) // damp_den
     pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(pr, e["__src"] == pr["node"])
             .join(outdeg, "__src")
-            # floor of a double quotient of BIGINTs is exact here: the
-            # true quotient is ≥ 1/deg away from the next integer, far
-            # beyond double rounding error — same op in the oracle
             .select(
                 F.col("__dst").alias("__node"),
-                F.floor(F.col("pr") / F.col("__deg")).cast("long").alias("__c"),
+                F.expr("pr div __deg").cast("long").alias("__c"),
             )
             .groupBy("__node")
             .agg(F.sum("__c").alias("__contrib"))
@@ -86,14 +94,16 @@ def pagerank_int(
                 "node",
                 (
                     F.lit(base)
-                    + F.floor(
-                        F.lit(damp_num)
-                        * F.coalesce(F.col("__contrib"), F.lit(0))
-                        / F.lit(damp_den)
+                    + F.expr(
+                        f"({damp_num} * coalesce(__contrib, 0L)) div {damp_den}"
                     )
                 )
                 .cast("long")
                 .alias("pr"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+            it + 1
+        ) < iterations:
+            pr = pr.localCheckpoint(eager=False)
     return pr

@@ -1400,6 +1400,11 @@ def link_pagerank(spark, sf_dir):
         .mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
         .select(F.col("canon_url").alias("src"), F.explode("links").alias("l"))
         .select("src", F.col("l.url").alias("dst"))
+        # materialize ONCE: pagerank_int embeds the edge frame ~2× per
+        # iteration, and without a leaf here every copy re-runs the full
+        # html extraction (an eager local checkpoint is one extraction
+        # pass; the small edge list then feeds all 5 rounds from blocks)
+        .localCheckpoint(eager=True)
     )
     nodes = pages.select("url")
     return pagerank_int(edges, iterations=5, nodes=nodes).select(
@@ -2024,10 +2029,16 @@ def crawl_wave_flagship(spark, sf_dir):
         spark, frontier, empty_seen(spark), pages, robots,
         wave=0, config=CrawlConfig(wave_seconds=16.0),
     )
-    return out.results.select(
+    result = out.results.select(
         "wave", "canon_url", "host", "priority",
         F.length("text").cast("long").alias("text_len"),
-    )
+    ).localCheckpoint(eager=True)
+    # retire the wave's persisted intermediates (WaveOutput contract:
+    # the caller unpersists) — the eager checkpoint above makes the
+    # returned frame self-contained first
+    for cached_df in out.cached:
+        cached_df.unpersist()
+    return result
 
 
 @register(

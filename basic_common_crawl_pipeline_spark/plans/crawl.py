@@ -398,6 +398,15 @@ def run_crawl(
                 retiring = out.cached
             state.wave += 1
             state.next_seq = next_seq
+        # the FINAL wave's checkpoint leaves have no next wave (and, with
+        # no store, no commit) to materialize them — copy their blocks
+        # from the still-hot caches now, before `finally` retires those
+        # caches, or every post-crawl action on the returned state would
+        # re-run the last wave from scratch (mid-crawl waves get this for
+        # free from the next wave's action / the background commit)
+        if store is None and retiring:
+            state.frontier.count()
+            state.seen.count()
     finally:
         if pending is not None:
             pending.result()
