@@ -193,7 +193,9 @@ def main() -> None:
         "dedup_simhash_pairs",
         "ann_cosine_topk",
         "ann_cosine_topk_bucketed",
+        "ann_cosine_topk_ivf",
         "emb_neardup_pairs",
+        "link_pagerank",
         "text_quality",
         "stream_windowed_events",
         "warc_ingest",
