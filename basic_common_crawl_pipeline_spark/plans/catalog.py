@@ -334,9 +334,7 @@ def p1_parse_cluster_idx(spark, sf_dir):
     return parse_cluster_idx(lines)
 
 
-@register(
-    "p2_parse_cdx_eligible",
-    """
+_P2_ELIGIBLE_ORACLE = """
     WITH lines AS (
       SELECT printf('com,shop%d)/order %s ',
                     o_custkey % 100, strftime(o_orderdate, '%Y%m%d%H%M%S'))
@@ -365,15 +363,13 @@ def p1_parse_cluster_idx(spark, sf_dir):
     FROM parsed
     WHERE status = 200
       AND list_contains(list_transform(string_split(languages, ','), t -> trim(t)), 'eng')
-    """,
-)
-def p2_parse_cdx_eligible(spark, sf_dir):
-    """P2+P3+F1+F2: CDX line parse (Rust splitn-3 semantics,
-    rust/src/commoncrawl.rs:79-86) + numeric coercion + eligibility filter,
-    over lines synthesized from orders."""
-    from ..functions.cdx import eligible_filter
+    """
 
-    orders = load(spark, sf_dir, "orders")
+
+def _cdx_lines_from_orders(orders: DataFrame) -> DataFrame:
+    """Synthesize raw ``<surt> <ts> <json>`` CDX index lines from the
+    orders table (shared by the batch and streaming batcher entries —
+    the oracle _P2_ELIGIBLE_ORACLE mirrors this derivation in SQL)."""
     meta_json = F.to_json(
         F.struct(
             F.format_string(
@@ -391,7 +387,7 @@ def p2_parse_cdx_eligible(spark, sf_dir):
             .alias("languages"),
         )
     )
-    lines = orders.select(
+    return orders.select(
         F.concat(
             F.format_string(
                 "com,shop%d)/order %s ",
@@ -401,7 +397,11 @@ def p2_parse_cdx_eligible(spark, sf_dir):
             meta_json,
         ).alias("line")
     )
-    parsed = parse_cdx_lines(lines)
+
+
+def _eligible_projection(parsed: DataFrame) -> DataFrame:
+    from ..functions.cdx import eligible_filter
+
     return eligible_filter(parsed).select(
         "surt_url",
         "timestamp",
@@ -410,6 +410,15 @@ def p2_parse_cdx_eligible(spark, sf_dir):
         F.col("metadata.length").cast("long").alias("length"),
         F.col("metadata.languages").alias("languages"),
     )
+
+
+@register("p2_parse_cdx_eligible", _P2_ELIGIBLE_ORACLE)
+def p2_parse_cdx_eligible(spark, sf_dir):
+    """P2+P3+F1+F2: CDX line parse (Rust splitn-3 semantics,
+    rust/src/commoncrawl.rs:79-86) + numeric coercion + eligibility filter,
+    over lines synthesized from orders."""
+    orders = load(spark, sf_dir, "orders")
+    return _eligible_projection(parse_cdx_lines(_cdx_lines_from_orders(orders)))
 
 
 @register(
@@ -1452,6 +1461,41 @@ def stream_windowed_events(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     return run_stream_to_memory(
         spark, agg, name, ckpt, output_mode="complete"
+    )
+
+
+@register("stream_batcher_pipeline", _P2_ELIGIBLE_ORACLE)
+def stream_batcher_pipeline(spark, sf_dir):
+    """The reference's BATCHER as one continuous query (S4→S5→P2+P3+
+    F1-F3): CDX index lines published to the file queue, consumed with
+    prefetch-style backpressure (maxFilesPerTrigger=2 over 8 files → 4
+    real micro-batches, the basic_qos analog — rust/src/rabbitmq.rs:
+    74-81), parsed and eligibility-filtered IN-STREAM, drained with
+    trigger=availableNow. Append-only with no windows/state → the result
+    equals the batch parse+filter exactly, so the full DuckDB oracle
+    applies (same SQL as p2_parse_cdx_eligible)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.queue_stream import run_stream_to_memory
+
+    orders = load(spark, sf_dir, "orders")
+    qdir = tempfile.mkdtemp(prefix="queue_cdx_")
+    _cdx_lines_from_orders(orders).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(qdir)
+    stream = (
+        spark.readStream.schema("line string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(qdir)
+    )
+    eligible = _eligible_projection(parse_cdx_lines(stream))
+    return run_stream_to_memory(
+        spark,
+        eligible,
+        f"batcher_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode="append",
     )
 
 
