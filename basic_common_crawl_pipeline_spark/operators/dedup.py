@@ -58,7 +58,18 @@ def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) distinct word-n-gram table — the input of MinHash and
-    of exact Jaccard."""
+    of exact Jaccard.
+
+    The tokenize+shingle projection is the CPU-heavy part and runs at the
+    SCAN's parallelism: a small single-file parquet arrives as one split
+    (below openCostInBytes no splitting happens at all), serializing 5-6 s
+    of per-doc expression work through one task (measured on the bench
+    corpus). Spread under-partitioned inputs to the session's shuffle
+    width first — the explicit count is AQE-coalescing-exempt; inputs
+    that already meet the width (any real-scale table) add no shuffle."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     return (
         df.select(
             F.col(id_col).alias("id"),
