@@ -301,3 +301,45 @@ def test_metrics_server_scrape_mid_crawl(spark, tmp_path):
     assert final["crawl_extracted_total"] == sum(
         m["extracted"] for m in state.metrics
     )
+
+
+def test_wave_leaves_materialize_without_rerunning_the_wave(spark):
+    """Round-3 structural pin: run_wave returns processed/new_frontier as
+    lazy checkpoint leaves wrapped around caches its single action has
+    already filled — materializing them afterwards must be a block copy
+    (a couple of jobs for the count itself), NOT a re-run of the wave
+    DAG (which spawns many AQE sub-jobs: joins, windows, the extract)."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        pages_from_documents,
+    )
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.wave import (
+        empty_seen,
+        frontier_from_seeds,
+        run_wave,
+    )
+
+    pages, seeds, robots = pages_from_documents(spark, SF)
+    out = run_wave(
+        spark, frontier_from_seeds(seeds), empty_seen(spark),
+        pages, robots, wave=0,
+        config=CrawlConfig(wave_seconds=16.0, collect_metrics=False),
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        for name, leaf in (
+            ("processed", out.processed),
+            ("new_frontier", out.new_frontier),
+        ):
+            sc.setJobGroup(f"leafmat_{name}", "leaf materialization")
+            n = leaf.count()
+            assert n > 0
+            jobs = tracker.getJobIdsForGroup(f"leafmat_{name}")
+            # a cache-backed block copy + count: ≤3 jobs (AQE may split
+            # the count's partial/final agg); a wave re-run is 10+
+            assert 0 < len(jobs) <= 3, (name, jobs)
+    finally:
+        sc.setJobGroup("", "")
+        for df in out.cached:
+            df.unpersist()
