@@ -232,13 +232,19 @@ def run_crawl(
                 "re-using the store would splice the old run's append "
                 "deltas into the new run's seen/crawl_order/results"
             )
+        # persist → count (ONE execution: the drained check fills the
+        # cache) → checkpoint-from-cache. The previous shape — a bare
+        # lazy checkpoint counted afterwards — materialized the leaf as
+        # its own SQL execution before the count's, paying two rounds of
+        # AQE boundaries for one canonicalization (the wave-loop leaves
+        # get the identical treatment in run_wave). The cache retires
+        # after wave 0's barrier, once the leaf's blocks exist.
+        initial_frontier = frontier_from_seeds(seeds).persist()
+        initial_count = initial_frontier.count()
         state = CrawlState(
             wave=0,
             next_seq=1,
-            # lazy checkpoint: the initial drained-check count materializes
-            # the canonized frontier once; wave 0 reuses the blocks instead
-            # of re-running the seed canonicalization inside its own job
-            frontier=frontier_from_seeds(seeds).localCheckpoint(eager=False),
+            frontier=initial_frontier.localCheckpoint(eager=False),
             seen=empty_seen(spark),
             seen_bloom=bloom.empty(spark) if bloom is not None else None,
         )
@@ -250,6 +256,12 @@ def run_crawl(
     retiring: tuple = ()  # its caches — unpersist only after its barrier
     committed_this_run = False
     frontier_count: int | None = None
+    if not (resume and store is not None and store.current_snapshot() is not None):
+        # fresh start: the drained-check count already ran (cache-filling
+        # pass above); retire the initial frontier's cache after wave 0's
+        # barrier, once its checkpoint leaf has block-copied from it
+        frontier_count = initial_count
+        retiring = (initial_frontier,)
     # the robots dim is re-read every wave (broadcast join build) — cache
     # it once per crawl instead of recomputing its lineage per wave
     robots = robots.persist()
