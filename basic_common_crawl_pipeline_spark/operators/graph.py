@@ -35,6 +35,59 @@ PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
 
 
+def label_propagation_min(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """(node, label) after ``iterations`` rounds of undirected min-label
+    propagation: label(v) = min node id within ``iterations`` hops of v —
+    the CONNECTED COMPONENT id once ``iterations`` ≥ the component
+    diameter. This is how pairwise near-duplicate output (MinHash/
+    SimHash/embedding PAIRS) becomes dedup GROUPS: components of the
+    pair graph are the duplicate clusters, and min-id is the canonical
+    representative. Near-dup components are clique-like (diameter ≤ 2-3),
+    so a small fixed round count is exact there — and a FIXED count is
+    what makes the operator deterministic and oracle-checkable (a
+    converge-until-fixpoint loop is the production variant: same body,
+    driver loop on a changed-count).
+
+    One shuffle join + one aggregation per round, same scale shape as
+    ``pagerank_int``; ``nodes`` defaults to the vertices of ``edges``
+    (pass the full node frame so singletons get their own label)."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src_col).alias("node"))
+            .unionByName(edges.select(F.col(dst_col).alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    und = edges.select(
+        F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("__x"), F.col(src_col).alias("__y"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iterations):
+        neigh = und.join(
+            labels, und["__y"] == labels["node"]
+        ).select(F.col("__x").alias("node"), "label")
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+            it + 1
+        ) < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,

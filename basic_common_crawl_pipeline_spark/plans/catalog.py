@@ -889,10 +889,10 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "doc_id", "text", prefix_tokens=5)
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sh AS (
+# shared by dedup_minhash_lsh and dedup_neardup_clusters: shingles →
+# 8 salted min-hashes → 4×2 banding → candidate pairs → exact-Jaccard
+# ingredients (sizes + intersections)
+_MINHASH_CTES = f"""sh AS (
       SELECT DISTINCT doc_id AS id, s.shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -928,7 +928,13 @@ def dedup_exact(spark, sf_dir):
       JOIN sh sa ON sa.id = c.a
       JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
       GROUP BY c.a, c.b
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT i.a, i.b,
            {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} AS jaccard
     FROM inter i
@@ -945,6 +951,63 @@ def dedup_minhash_lsh(spark, sf_dir):
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
         threshold=0.2,
     )
+
+
+def _lp_rounds_sql(rounds: int) -> str:
+    out, prev = [], "l0"
+    for i in range(1, rounds + 1):
+        out.append(f""",
+    l{i} AS (
+      SELECT l.v, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+      FROM {prev} l
+      LEFT JOIN und e ON e.x = l.v
+      LEFT JOIN {prev} n ON n.v = e.y
+      GROUP BY l.v, l.lbl
+    )""")
+        prev = f"l{i}"
+    return "".join(out)
+
+
+@register(
+    "dedup_neardup_clusters",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes za ON za.id = i.a
+      JOIN sizes zb ON zb.id = i.b
+      WHERE {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} >= 0.2
+    ),
+    und AS (
+      SELECT a AS x, b AS y FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents)
+    {_lp_rounds_sql(4)}
+    SELECT v AS doc_id, lbl AS cluster FROM l4
+    """,
+)
+def dedup_neardup_clusters(spark, sf_dir):
+    """Pairs → GROUPS: the missing last step of near-duplicate dedup.
+    MinHash-LSH emits pairwise matches; connected components of the pair
+    graph are the duplicate clusters, and the min doc_id per component
+    is the canonical representative (keep it, drop the rest — exactly
+    dedup_exact_apply's semantics lifted to fuzzy matches). Four rounds
+    of min-label propagation (operators/graph.py::label_propagation_min)
+    — near-dup components are clique-like, diameter ≤ 2-3, so the fixed
+    round count is the exact component id here and keeps the operator
+    deterministic for the oracle; production loops to fixpoint."""
+    from ..operators.graph import label_propagation_min
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
+        threshold=0.2,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return label_propagation_min(
+        pairs, iterations=4, nodes=docs.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
 @register(

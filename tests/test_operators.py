@@ -335,6 +335,42 @@ def test_pagerank_cycle_fixed_point_and_star(spark):
     assert got == again
 
 
+def test_label_propagation_components(spark):
+    """Min-label propagation: two triangles + an isolated node resolve to
+    min-id components; a path graph longer than the round count shows
+    the documented K-hop semantics (labels only travel K hops)."""
+    from basic_common_crawl_pipeline_spark.operators.graph import (
+        label_propagation_min,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "doc_id long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation_min(tri, iterations=3, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
+    )  # 1-2-3-4-5-6-7
+    two = {
+        r["node"]: r["label"]
+        for r in label_propagation_min(path, iterations=2).collect()
+    }
+    assert two[3] == 1 and two[7] == 5  # label 1 reaches only 2 hops
+    full = {
+        r["node"]: r["label"]
+        for r in label_propagation_min(path, iterations=6).collect()
+    }
+    assert set(full.values()) == {1}
+
+
 def test_politeness_unsalted_equals_salted(spark):
     """salt_partitions<=1 (the small-wave fast path) returns the exact
     same per-host top-k as the salted two-phase shape."""
