@@ -1011,6 +1011,51 @@ def dedup_neardup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_neardup_apply",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes za ON za.id = i.a
+      JOIN sizes zb ON zb.id = i.b
+      WHERE {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} >= 0.2
+    ),
+    und AS (
+      SELECT a AS x, b AS y FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents)
+    {_lp_rounds_sql(4)}
+    SELECT d.doc_id, d.source, length(d.text) AS n_chars
+    FROM documents d JOIN l4 ON l4.v = d.doc_id AND l4.lbl = d.doc_id
+    """,
+)
+def dedup_neardup_apply(spark, sf_dir):
+    """Fuzzy-dedup APPLICATION: keep exactly the canonical representative
+    of each near-duplicate cluster (doc_id == its component's min label)
+    — dedup_exact_apply's materialization step on MinHash clusters. The
+    keep predicate is a semi-join against the cluster table; at scale
+    the cluster table is tiny relative to the corpus (one row per doc,
+    two small columns) and the corpus never shuffles."""
+    from ..operators.graph import label_propagation_min
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
+        threshold=0.2,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    keep = (
+        label_propagation_min(pairs, iterations=4, nodes=docs.select("doc_id"))
+        .filter(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (
