@@ -64,11 +64,18 @@ def shingle_table(
     SCAN's parallelism: a small single-file parquet arrives as one split
     (below openCostInBytes no splitting happens at all), serializing 5-6 s
     of per-doc expression work through one task (measured on the bench
-    corpus). Spread under-partitioned inputs to the session's shuffle
-    width first — the explicit count is AQE-coalescing-exempt; inputs
-    that already meet the width (any real-scale table) add no shuffle."""
+    corpus). Spread few-FILE inputs to the session's shuffle width first
+    — the explicit count is AQE-coalescing-exempt; a many-file (real
+    scale) or non-file-backed input adds no shuffle. The probe is
+    ``inputFiles()`` (metadata only) rather than ``rdd.getNumPartitions``
+    — under AQE ``.rdd`` forces the final plan, EXECUTING any upstream
+    shuffle stages at DataFrame-construction time."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         df = df.repartition(target, F.col(id_col))
     return (
         df.select(

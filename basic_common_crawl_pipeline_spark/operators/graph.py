@@ -41,7 +41,7 @@ def label_propagation_min(
     src_col: str = "src",
     dst_col: str = "dst",
     nodes: DataFrame | None = None,
-    checkpoint_every: int | None = 8,
+    checkpoint_every: int | None = 3,
 ) -> DataFrame:
     """(node, label) after ``iterations`` rounds of undirected min-label
     propagation: label(v) = min node id within ``iterations`` hops of v —
@@ -55,17 +55,29 @@ def label_propagation_min(
     converge-until-fixpoint loop is the production variant: same body,
     driver loop on a changed-count).
 
-    One shuffle join + one aggregation per round, same scale shape as
-    ``pagerank_int``; ``nodes`` defaults to the vertices of ``edges``
-    (pass the full node frame so singletons get their own label)."""
+    One shuffle join + one aggregation per round. Unlike ``pagerank_int``
+    (whose plan grows linearly), each round references the label frame
+    TWICE (self ∪ neighbors), so the plan doubles per round —
+    ``checkpoint_every`` therefore defaults low (3: ≤8 label-frame
+    copies between truncations); callers should also persist/checkpoint
+    ``edges`` when its lineage is expensive, since it is embedded every
+    round. ``nodes`` defaults to the vertices of ``edges``; a supplied
+    frame ADDS isolated vertices — edge endpoints are always unioned in,
+    or an endpoint missing from ``nodes`` would never contribute its own
+    id to the label pool and its component would get a non-minimal
+    label."""
+    endpoints = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+    )
     if nodes is None:
+        nodes = endpoints.distinct()
+    else:
         nodes = (
-            edges.select(F.col(src_col).alias("node"))
-            .unionByName(edges.select(F.col(dst_col).alias("node")))
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .unionByName(endpoints)
             .distinct()
         )
-    else:
-        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
     und = edges.select(
         F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
     ).unionByName(

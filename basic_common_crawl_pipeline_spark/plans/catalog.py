@@ -1001,10 +1001,16 @@ def dedup_neardup_clusters(spark, sf_dir):
     from ..operators.graph import label_propagation_min
 
     docs = load(spark, sf_dir, "documents")
+    # materialize ONCE: the label rounds embed the edge frame every
+    # round (and reference it twice per round via the undirected union),
+    # so without a leaf here the full MinHash/LSH/Jaccard lineage is
+    # copied ~30x into one plan (same rule as link_pagerank's edges)
     pairs = dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
         threshold=0.2,
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)
     return label_propagation_min(
         pairs, iterations=4, nodes=docs.select("doc_id")
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
@@ -1041,10 +1047,16 @@ def dedup_neardup_apply(spark, sf_dir):
     from ..operators.graph import label_propagation_min
 
     docs = load(spark, sf_dir, "documents")
+    # materialize ONCE: the label rounds embed the edge frame every
+    # round (and reference it twice per round via the undirected union),
+    # so without a leaf here the full MinHash/LSH/Jaccard lineage is
+    # copied ~30x into one plan (same rule as link_pagerank's edges)
     pairs = dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
         threshold=0.2,
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)
     keep = (
         label_propagation_min(pairs, iterations=4, nodes=docs.select("doc_id"))
         .filter(F.col("node") == F.col("label"))
@@ -1585,18 +1597,14 @@ def stream_batcher_pipeline(spark, sf_dir):
     import tempfile
     import uuid
 
-    from ..streaming.queue_stream import run_stream_to_memory
+    from ..streaming.queue_stream import consume_batches, run_stream_to_memory
 
     orders = load(spark, sf_dir, "orders")
     qdir = tempfile.mkdtemp(prefix="queue_cdx_")
     _cdx_lines_from_orders(orders).repartition(8).write.mode(
         "overwrite"
     ).parquet(qdir)
-    stream = (
-        spark.readStream.schema("line string")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(qdir)
-    )
+    stream = consume_batches(spark, qdir, "line string", max_files_per_trigger=2)
     eligible = _eligible_projection(parse_cdx_lines(stream))
     return run_stream_to_memory(
         spark,
@@ -1624,7 +1632,7 @@ def stream_stateful_user_totals(spark, sf_dir):
 
     from pyspark.sql import Window
 
-    from ..streaming.queue_stream import run_stream_to_memory
+    from ..streaming.queue_stream import consume_batches, run_stream_to_memory
     from ..streaming.stateful import stateful_user_totals
 
     events = load(spark, sf_dir, "events")
@@ -1632,11 +1640,7 @@ def stream_stateful_user_totals(spark, sf_dir):
     # queue the events as 8 files regardless of scale (no count job, no
     # degenerate batch-size arithmetic at tiny inputs)
     events.repartition(8).write.mode("overwrite").parquet(qdir)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(qdir)
-    )
+    stream = consume_batches(spark, qdir, events.schema, max_files_per_trigger=2)
     totals = stateful_user_totals(stream)
     import uuid
 
@@ -1670,7 +1674,7 @@ def stream_seen_dedup(spark, sf_dir):
     import tempfile
     import uuid
 
-    from ..streaming.queue_stream import run_stream_to_memory
+    from ..streaming.queue_stream import consume_batches, run_stream_to_memory
     from ..streaming.stateful import stateful_seen_dedup
 
     docs = load(spark, sf_dir, "documents")
@@ -1683,11 +1687,7 @@ def stream_seen_dedup(spark, sf_dir):
     )
     qdir = tempfile.mkdtemp(prefix="queue_urls_")
     urls.repartition(8).write.mode("overwrite").parquet(qdir)
-    stream = (
-        spark.readStream.schema(urls.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(qdir)
-    )
+    stream = consume_batches(spark, qdir, urls.schema, max_files_per_trigger=2)
     deduped = stateful_seen_dedup(stream, partitions=8)
     return run_stream_to_memory(
         spark,

@@ -209,7 +209,10 @@ def run_crawl(
             k=config.bloom_k,
         )
 
-    if resume and store is not None and store.current_snapshot() is not None:
+    fresh_start = not (
+        resume and store is not None and store.current_snapshot() is not None
+    )
+    if not fresh_start:
         manifest = store.read_manifest()
         state = CrawlState(
             wave=manifest["extra"]["next_wave"],
@@ -256,10 +259,10 @@ def run_crawl(
     retiring: tuple = ()  # its caches — unpersist only after its barrier
     committed_this_run = False
     frontier_count: int | None = None
-    if not (resume and store is not None and store.current_snapshot() is not None):
-        # fresh start: the drained-check count already ran (cache-filling
-        # pass above); retire the initial frontier's cache after wave 0's
-        # barrier, once its checkpoint leaf has block-copied from it
+    if fresh_start:
+        # the drained-check count already ran (cache-filling pass above);
+        # retire the initial frontier's cache after wave 0's barrier,
+        # once its checkpoint leaf has block-copied from it
         frontier_count = initial_count
         retiring = (initial_frontier,)
     # the robots dim is re-read every wave (broadcast join build) — cache
