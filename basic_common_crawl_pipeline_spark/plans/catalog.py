@@ -183,6 +183,100 @@ def w1_latest_event(spark, sf_dir):
 
 
 @register(
+    "j4_asof_join",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ),
+    errs AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           c.user_id,
+           {_r4("r.value")} AS policy_value,
+           r.event_id AS policy_event
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT e.value, e.event_id FROM errs e
+      WHERE e.user_id = c.user_id AND e.ts <= c.ts
+      ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def j4_asof_join(spark, sf_dir):
+    """AS-OF join (a brief-named operator Spark lacks natively): each
+    click event joined to the latest SAME-USER error event at or before
+    it — the crawl-shaped "policy in effect at fetch time" lookup.
+    operators/temporal.py::asof_join implements the distributed shape:
+    union both sides, ONE shuffle by key, last-observation-carried-
+    forward window — never the O(|L|·|R|)-per-key theta join the oracle's
+    LATERAL spells out."""
+    from ..operators.temporal import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = asof_join(
+        clicks, errs, on="user_id",
+        value_cols=("value", "event_id"), right_order="event_id",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        round4(F.col("value_asof")).alias("policy_value"),
+        F.col("event_id_asof").alias("policy_event"),
+    )
+
+
+@register(
+    "j5_range_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ),
+    errs AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id AS click_id, e.event_id AS window_id, c.user_id
+    FROM clicks c JOIN errs e
+      ON e.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) <= epoch_us(e.ts) + 1800000000
+    """,
+)
+def j5_range_join(spark, sf_dir):
+    """RANGE join: clicks falling inside any same-user 30-minute window
+    opened by an error event. operators/temporal.py::bucketed_range_join
+    rewrites the theta join as interval-to-grid-cell explosion + one
+    equi-join + residual filter — exact, duplicate-free, and linear
+    shuffle volume; the oracle spells out the naive theta join."""
+    from ..operators.temporal import bucketed_range_join
+
+    width_us = 1_800_000_000  # 30 min in microseconds
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + width_us).alias("e_us"),
+    )
+    return bucketed_range_join(
+        clicks, errs, on="user_id", point_col="p_us",
+        start_col="s_us", end_col="e_us", bucket_width=width_us,
+    ).select("click_id", "window_id", "user_id")
+
+
+@register(
     "u1_set_ops",
     """
     SELECT doc_id FROM documents WHERE lang = 'en'

@@ -371,6 +371,82 @@ def test_label_propagation_components(spark):
     assert set(full.values()) == {1}
 
 
+def test_asof_join_semantics(spark):
+    """Hand-checked as-of join: inclusive <= at equal timestamps, max
+    tiebreak among same-ts snapshots, null before the first snapshot,
+    and per-key isolation."""
+    from basic_common_crawl_pipeline_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("h1", 10, 100.0, 1),
+            ("h1", 20, 200.0, 2),
+            ("h1", 20, 250.0, 3),  # same ts, higher order wins
+            ("h2", 15, 900.0, 4),
+        ],
+        "host string, ts long, delay double, rid long",
+    )
+    left = spark.createDataFrame(
+        [
+            ("h1", 5, "a"),    # before any snapshot -> null
+            ("h1", 10, "b"),   # equal ts -> inclusive
+            ("h1", 20, "c"),   # tie: rid 3 wins
+            ("h1", 99, "d"),
+            ("h2", 14, "e"),   # h2's snapshot is later -> null
+            ("h2", 15, "f"),
+        ],
+        "host string, ts long, tag string",
+    )
+    out = {
+        r["tag"]: (r["delay_asof"], r["rid_asof"])
+        for r in asof_join(
+            left, right, on="host", value_cols=("delay", "rid"),
+            right_order="rid",
+        ).collect()
+    }
+    assert out == {
+        "a": (None, None),
+        "b": (100.0, 1),
+        "c": (250.0, 3),
+        "d": (250.0, 3),
+        "e": (None, None),
+        "f": (900.0, 4),
+    }
+
+
+def test_bucketed_range_join_exact(spark):
+    """Bucketed range join == naive theta join on a case with boundary
+    hits, an interval spanning multiple cells, disjoint keys, and no
+    duplicate pairs."""
+    from basic_common_crawl_pipeline_spark.operators.temporal import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [("k1", 0), ("k1", 10), ("k1", 25), ("k1", 26), ("k2", 10)],
+        "key string, p long",
+    )
+    intervals = spark.createDataFrame(
+        [("k1", 10, 25, "w1"), ("k1", 0, 99, "w2"), ("k2", 11, 12, "w3")],
+        "key string, s long, e long, wid string",
+    )
+    got = sorted(
+        (r["p"], r["wid"])
+        for r in bucketed_range_join(
+            points, intervals, on="key", point_col="p",
+            start_col="s", end_col="e", bucket_width=7,
+        ).collect()
+    )
+    want = sorted(
+        (p, wid)
+        for key_p, p in [("k1", 0), ("k1", 10), ("k1", 25), ("k1", 26), ("k2", 10)]
+        for key_i, s, e, wid in [("k1", 10, 25, "w1"), ("k1", 0, 99, "w2"), ("k2", 11, 12, "w3")]
+        if key_p == key_i and s <= p <= e
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # no duplicate pairs
+
+
 def test_politeness_unsalted_equals_salted(spark):
     """salt_partitions<=1 (the small-wave fast path) returns the exact
     same per-host top-k as the salted two-phase shape."""
