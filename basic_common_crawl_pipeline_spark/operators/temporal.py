@@ -26,6 +26,67 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_ROLLUP_LEVELS = ("minute", "hour", "day")
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value_units",
+    levels: tuple[str, ...] = _ROLLUP_LEVELS,
+) -> DataFrame:
+    """Hierarchical time-bucket rollup (the hypertable continuous-
+    aggregate shape, the third brief-named operator class): one frame
+    holding (level, bucket, key, n, sum_units, min_units, max_units)
+    for every level, where each COARSER level re-aggregates the next
+    finer one — the raw table is scanned exactly once and the minute
+    level's output (tiny relative to raw) feeds hour, hour feeds day.
+    At 100 TB that is the difference between one full scan and one per
+    level. Requires mergeable aggregates and an EXACT value domain:
+    ``value_col`` must be integral (count/sum/min/max of BIGINTs are
+    associative, so sum-of-sums equals the direct sum bit-for-bit —
+    double sums would differ between the re-aggregated and direct
+    forms). ``levels`` must go finest → coarsest.
+
+    The finest level is eagerly materialized (localCheckpoint — it runs
+    a job at call time): the union references it once per level, and
+    without a leaf the physical plan scans RAW once per level (verified:
+    3 parquet scans, no exchange reuse across AQE union branches) —
+    exactly the cost this operator exists to avoid."""
+    finest = (
+        events.groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_units"),
+            F.min(value_col).alias("min_units"),
+            F.max(value_col).alias("max_units"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = finest.withColumn("level", F.lit(levels[0]))
+    prev = finest
+    for lvl in levels[1:]:
+        prev = (
+            prev.groupBy(
+                F.date_trunc(lvl, F.col("bucket")).alias("bucket"), "key"
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_units").alias("sum_units"),
+                F.min("min_units").alias("min_units"),
+                F.max("max_units").alias("max_units"),
+            )
+        )
+        out = out.unionByName(prev.withColumn("level", F.lit(lvl)))
+    return out.select(
+        "level", "bucket", "key", "n", "sum_units", "min_units", "max_units"
+    )
+
+
 def bucketed_range_join(
     points: DataFrame,
     intervals: DataFrame,

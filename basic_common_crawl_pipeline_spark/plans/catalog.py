@@ -277,6 +277,62 @@ def j5_range_join(spark, sf_dir):
 
 
 @register(
+    "rollup_hypertable",
+    """
+    WITH ev AS (
+      SELECT ts, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    lv AS (
+      SELECT 'minute' AS level, date_trunc('minute', ts) AS b, event_type AS key,
+             count(*) AS n, sum(cents) AS sum_units,
+             min(cents) AS min_units, max(cents) AS max_units
+      FROM ev GROUP BY 2, 3
+      UNION ALL
+      SELECT 'hour', date_trunc('hour', ts), event_type,
+             count(*), sum(cents), min(cents), max(cents)
+      FROM ev GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type,
+             count(*), sum(cents), min(cents), max(cents)
+      FROM ev GROUP BY 2, 3
+    )
+    SELECT level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_s, key,
+           n, sum_units, min_units, max_units
+    FROM lv
+    """,
+)
+def rollup_hypertable(spark, sf_dir):
+    """Hypertable rollup (the third brief-named custom-operator class):
+    minute → hour → day aggregates where each coarser level
+    RE-AGGREGATES the finer one (operators/temporal.py::
+    hypertable_rollup — raw scanned once, continuous-aggregate shape);
+    the oracle computes every level directly from raw. Equality between
+    the two shapes is itself the correctness claim: mergeable integer
+    aggregates make sum-of-sums bit-equal to the direct sum (values as
+    exact cents — double sums would diverge by addition order)."""
+    from ..operators.temporal import hypertable_rollup
+
+    events = load(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_units"),
+    )
+    return hypertable_rollup(events).select(
+        "level",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "key",
+        "n",
+        "sum_units",
+        "min_units",
+        "max_units",
+    )
+
+
+@register(
     "u1_set_ops",
     """
     SELECT doc_id FROM documents WHERE lang = 'en'

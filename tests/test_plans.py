@@ -343,3 +343,17 @@ def test_wave_leaves_materialize_without_rerunning_the_wave(spark):
         sc.setJobGroup("", "")
         for df in out.cached:
             df.unpersist()
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    """The continuous-aggregate claim, physically: the rollup's final
+    plan contains ZERO raw parquet scans (the single scan ran inside the
+    finest level's checkpoint job) and one leaf read per level — without
+    the materialization the union re-scans raw once per level."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import queries
+
+    df = queries()["rollup_hypertable"](spark, SF)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
