@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textstats as ts
 from ..functions.cdx import parse_cdx_lines, parse_cluster_idx
-from ..functions.numeric import round4
+from ..functions.numeric import SQL_CENTS, round4
 from ..operators import dedup, similarity
 from ..operators.ordering import with_global_seq
 from ..operators.politeness import select_per_host_topk
@@ -39,6 +39,12 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin the session TZ on every catalog entry: the driver's gate passes
+    # its OWN SparkSession (session.py's UTC pin doesn't apply), and any
+    # timestamp→string/epoch step in a query would silently follow the
+    # host TZ. Idempotent runtime conf; the DuckDB oracles treat naive
+    # timestamps as UTC, so this makes both engines agree by definition.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -280,26 +286,26 @@ def j5_range_join(spark, sf_dir):
     "rollup_hypertable",
     """
     WITH ev AS (
-      SELECT ts, event_type,
-             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      SELECT epoch_us(ts) AS us, event_type,
+             """ + SQL_CENTS.format(expr="value") + """ AS cents
       FROM events
     ),
     lv AS (
-      SELECT 'minute' AS level, date_trunc('minute', ts) AS b, event_type AS key,
+      SELECT 'minute' AS level, us - us % 60000000 AS bucket_us,
+             event_type AS key,
              count(*) AS n, sum(cents) AS sum_units,
              min(cents) AS min_units, max(cents) AS max_units
       FROM ev GROUP BY 2, 3
       UNION ALL
-      SELECT 'hour', date_trunc('hour', ts), event_type,
+      SELECT 'hour', us - us % 3600000000, event_type,
              count(*), sum(cents), min(cents), max(cents)
       FROM ev GROUP BY 2, 3
       UNION ALL
-      SELECT 'day', date_trunc('day', ts), event_type,
+      SELECT 'day', us - us % 86400000000, event_type,
              count(*), sum(cents), min(cents), max(cents)
       FROM ev GROUP BY 2, 3
     )
-    SELECT level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_s, key,
-           n, sum_units, min_units, max_units
+    SELECT level, bucket_us, key, n, sum_units, min_units, max_units
     FROM lv
     """,
 )
@@ -310,20 +316,27 @@ def rollup_hypertable(spark, sf_dir):
     hypertable_rollup — raw scanned once, continuous-aggregate shape);
     the oracle computes every level directly from raw. Equality between
     the two shapes is itself the correctness claim: mergeable integer
-    aggregates make sum-of-sums bit-equal to the direct sum (values as
-    exact cents — double sums would diverge by addition order)."""
+    aggregates make sum-of-sums bit-equal to the direct sum.
+
+    The output domain is PURE integers end to end: values as exact
+    cents (shared functions/numeric.py::to_cents on both sides) and
+    buckets as epoch MICROSECONDS — the oracle truncates with integer
+    modulo (naive-as-UTC epoch has no DST, so day = 86400e6 µs exactly;
+    verified equal to date_trunc at every sf), which removes every
+    strftime/date-coercion/TZ/engine-version hazard from the compare.
+    load() pins the session TZ to UTC so Spark's unix_micros agrees
+    with DuckDB's naive-as-UTC epoch under ANY driver session."""
+    from ..functions.numeric import to_cents
     from ..operators.temporal import hypertable_rollup
 
     events = load(spark, sf_dir, "events").select(
         "ts",
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("value_units"),
+        to_cents(F.col("value")).alias("value_units"),
     )
     return hypertable_rollup(events).select(
         "level",
-        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
         "key",
         "n",
         "sum_units",
