@@ -96,11 +96,45 @@ def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
     return shingles.groupBy("id").agg(*aggs)
 
 
+def _cap_cells(
+    banded: DataFrame,
+    cell_cap: int | None,
+    keys: tuple[str, str] = ("band_id", "band_key"),
+) -> DataFrame:
+    """Hot-cell guard shared by every band self-join (same shape as
+    operators/similarity.py::neardup_pairs): drop band cells holding more
+    than ``cell_cap`` members BEFORE the self-join. A boilerplate-heavy
+    web corpus concentrates thousands of near-identical pages into ONE
+    (band_id, band_key) cell, and the self-join then materializes
+    O(cell²) pairs in a single join cell — the one shape AQE skew
+    splitting cannot fix (it splits a partition, not a join-key cell).
+    The members of a dropped cell still pair up through their other
+    bands' (smaller) cells, so recall degrades gracefully rather than
+    the job dying; a cell at the cap is by definition near-duplicate
+    mass that exact-dedup or a per-cell representative pass should have
+    removed first. ``cell_cap=None`` disables (exact oracle mode)."""
+    if cell_cap is None:
+        return banded
+    kept_cells = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("cell_n"))
+        .filter(F.col("cell_n") <= cell_cap)
+        .select(*keys)
+    )
+    return banded.join(kept_cells, list(keys))
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    cell_cap: int | None = 100_000,
 ) -> DataFrame:
     """Band the signature (bands × rows_per_band columns) and equi-join on
-    (band_id, band_key) → candidate pairs (a < b), distinct."""
+    (band_id, band_key) → candidate pairs (a < b), distinct. Cells over
+    ``cell_cap`` are dropped first (``_cap_cells``); the default is far
+    above anything the gate corpora produce, so oracle equality is
+    unaffected while a 100-TB hot band stays bounded."""
     band_structs = F.array(
         *[
             F.struct(
@@ -119,6 +153,7 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(band_structs).alias("band")
     ).select("id", "band.band_id", "band.band_key")
+    banded = _cap_cells(banded, cell_cap)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -172,11 +207,12 @@ def minhash_lsh_dedup(
     bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    cell_cap: int | None = 100_000,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline → (a, b, jaccard ≥ t)."""
     shingles = shingle_table(df, id_col, text_col, shingle_n)
     sigs = minhash_signatures(shingles, bands * rows_per_band)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, cell_cap)
     return jaccard_for_pairs(shingles, cands).filter(
         F.col("jaccard") >= threshold
     )
@@ -254,6 +290,7 @@ def simhash_pairs(
     bits: int = 16,
     chunks: int = 4,
     max_hamming: int = 3,
+    cell_cap: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of each
     other's SimHash — the actual dedup use of the signatures.
@@ -263,7 +300,12 @@ def simhash_pairs(
     pigeonhole, two signatures at distance ≤ chunks-1 share at least one
     identical chunk — so with max_hamming < chunks the banding is EXACT
     (recall 1.0), not approximate. One shuffle on the chunk key; the
-    final bit_count(xor) verify is codegen'd JVM arithmetic."""
+    final bit_count(xor) verify is codegen'd JVM arithmetic.
+
+    ``cell_cap`` drops over-full chunk cells before the self-join
+    (``_cap_cells``); with a cap engaged the pigeonhole exactness claim
+    weakens to "exact among pairs whose shared chunk cell is under the
+    cap" — the price of not detonating on a boilerplate-heavy corpus."""
     if max_hamming >= chunks:
         raise ValueError("exactness needs max_hamming < chunks (pigeonhole)")
     sh = simhash(df, id_col, text_col, bits)
@@ -284,6 +326,7 @@ def simhash_pairs(
     banded = sh.select("id", F.explode(structs).alias("c")).select(
         "id", "c.chunk_id", "c.chunk_key"
     )
+    banded = _cap_cells(banded, cell_cap, keys=("chunk_id", "chunk_key"))
     pairs = (
         banded.alias("l")
         .join(

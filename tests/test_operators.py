@@ -78,6 +78,49 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_hot_band_cell_cap_bounds_candidate_pairs(spark):
+    """Boilerplate-heavy corpus (the 100-TB web reality): 120 of 200 docs
+    are byte-identical, so every band/chunk cell they share holds 120
+    members → an uncapped band self-join materializes all C(120,2)=7140
+    boilerplate pairs per band. With the cell cap engaged those hot cells
+    are dropped BEFORE the join: no boilerplate pair survives, distinct
+    docs are untouched, and a cap far above the corpus reproduces the
+    uncapped result exactly (the gate-scale oracle-equality claim)."""
+    from basic_common_crawl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+        simhash_pairs,
+    )
+
+    boiler = "cookie notice accept all terms privacy policy copyright footer"
+    rows = [(i, boiler) for i in range(120)] + [
+        (200 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hot_ids = set(range(120))
+
+    sigs = minhash_signatures(shingle_table(df), k=8)
+    uncapped = lsh_candidate_pairs(sigs, cell_cap=None).collect()
+    capped = lsh_candidate_pairs(sigs, cell_cap=50).collect()
+    assert sum(1 for p in uncapped if p.a in hot_ids and p.b in hot_ids) == 7140
+    assert all(not (p.a in hot_ids and p.b in hot_ids) for p in capped)
+    # non-hot pairs survive the cap unchanged
+    cold = lambda ps: sorted(  # noqa: E731
+        (p.a, p.b) for p in ps if p.a not in hot_ids or p.b not in hot_ids
+    )
+    assert cold(capped) == cold(uncapped)
+    big_cap = sorted((p.a, p.b) for p in lsh_candidate_pairs(sigs, cell_cap=10_000).collect())
+    assert big_cap == sorted((p.a, p.b) for p in uncapped)
+
+    sp_uncapped = simhash_pairs(df, cell_cap=None).collect()
+    sp_capped = simhash_pairs(df, cell_cap=50).collect()
+    assert sum(1 for p in sp_uncapped if p.a in hot_ids and p.b in hot_ids) == 7140
+    assert all(not (p.a in hot_ids and p.b in hot_ids) for p in sp_capped)
+    assert cold(sp_capped) == cold(sp_uncapped)
+
+
 def test_simhash_close_for_similar_docs(spark):
     df = spark.createDataFrame(
         [
