@@ -4,26 +4,37 @@ reference processes a static index snapshot). The crawl-shaped use is
 robots/config snapshot with ``snapshot_ts <= capture_ts``.
 
 ``asof_join`` is the canonical distributed AS-OF shape: union both
-sides with a side tag, ONE shuffle by key, sort within partitions by
-(ts, side, tiebreak), and carry the last-observed right-hand values
-forward with an ``ignorenulls`` window ``last``. The naive alternative —
-theta-join on ``r.ts <= l.ts`` then rank — materializes O(|L|·|R|)
-pairs per key before pruning; the union form moves each row exactly
-once. Right rows sort BEFORE left rows at equal timestamps, so a
-snapshot taken at T applies to a probe at T (inclusive semantics).
+sides with a side tag, ONE range shuffle on (key, ts), sort within
+partitions, and carry the last-observed right row forward
+(last-observation-carried-forward). The naive alternative — theta-join
+on ``r.ts <= l.ts`` then rank — materializes O(|L|·|R|) pairs per key
+before pruning; the union form moves each row exactly once. Right rows
+sort BEFORE left rows at equal timestamps, so a snapshot taken at T
+applies to a probe at T (inclusive semantics).
 
-Skew note (10^10 rows): the window partitions by key — a pathologically
-hot key serializes through one task. LOCF cannot be salted the way
-top-k can (state crosses salt boundaries); the production refinement is
-range-partitioning (key, ts) with per-boundary state carry, the same
-two-phase shape as operators/ordering.py. Keys here are hosts/users —
-hot but bounded; AQE skew handling stays on.
+Skew (10^10 rows): a per-key window (``Window.partitionBy(key)``) would
+serialize a pathologically hot key through ONE task, and LOCF cannot be
+salted the way top-k can (state crosses salt boundaries). The
+implementation instead RANGE-partitions the union on (key, ts, …) — a
+hot key spreads over many contiguous partitions — and repairs the
+partition boundaries with per-boundary carry state, the same two-phase
+shape as operators/ordering.py: a first partition-local pass collects
+one tiny summary row per partition (first/last key + last right row),
+the driver prefix-scans those into per-partition carry-in packs (≤
+#partitions rows collected, never data), and a second partition-local
+Arrow pass fills left rows. Both passes are narrow; the only wide op is
+the single range shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _ROLLUP_LEVELS = ("minute", "hour", "day")
@@ -132,6 +143,9 @@ def bucketed_range_join(
     )
 
 
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -141,12 +155,25 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     right_order: str | None = None,
     suffix: str = "_asof",
+    cache: list | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``value_cols`` from the
     latest ``right`` row of the same ``on`` key with
     ``right_ts <= left_ts`` (null when no such row). Among right rows
     sharing (key, ts), the greatest ``right_order`` wins — pass one to
-    make the pick total; defaults to the first value column."""
+    make the pick total; defaults to the first value column. All carried
+    values come from that ONE winning right row (a null in one of its
+    value columns stays null — it is never backfilled from an older
+    row).
+
+    Two-phase scale-safe shape (module docstring): range-partition the
+    tagged union on (key, ts, side, ord), summarize each partition
+    (one tiny row), prefix-scan carry-in state on the driver, then fill
+    left rows in a partition-local Arrow pass. No per-key window exists
+    in the physical plan, so a hot key costs nothing beyond its share of
+    the range shuffle. Runs one small summary action at call time; the
+    sorted union is persisted (pass a list as ``cache`` to own
+    unpersisting it, as with operators/ordering.py)."""
     if right_order is None:
         right_order = value_cols[0]
     left_cols = left.columns
@@ -171,19 +198,146 @@ def asof_join(
         *[F.col(c) for c in left_cols if c != on],
     )
     un = r.unionByName(l)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__ord").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted_un = (
+        un.repartitionByRange(on, "__ts", "__side", "__ord")
+        .sortWithinPartitions(on, "__ts", "__side", "__ord")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    carried = un.select(
-        "*",
-        *[
-            F.last(o, ignorenulls=True).over(w).alias(f"__c_{o}")
-            for o in out_vals
-        ],
+    if cache is not None:
+        cache.append(sorted_un)
+
+    key_t = un.schema[on].dataType
+    val_fields = [
+        T.StructField(o, right.schema[c].dataType)
+        for c, o in zip(value_cols, out_vals)
+    ]
+    int_vals = {
+        o for c, o in zip(value_cols, out_vals)
+        if isinstance(right.schema[c].dataType, _INT_TYPES)
+    }
+
+    def _clean(v, name):
+        """pandas null (None/NaN/NaT) → None; undo the float64 coercion
+        pandas applies to integer columns containing nulls."""
+        if v is None or v != v:
+            return None
+        if name in int_vals:
+            return int(v)
+        return v
+
+    summ_schema = T.StructType(
+        [
+            T.StructField("__pid", T.LongType()),
+            T.StructField("first_key", key_t),
+            T.StructField("last_key", key_t),
+            T.StructField("has_pack", T.BooleanType()),
+        ]
+        + val_fields
     )
-    return carried.filter(F.col("__side") == 1).select(
-        *[F.col(c) for c in left_cols],
-        *[F.col(f"__c_{o}").alias(o) for o in out_vals],
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per partition: first/last key in sort order, plus the last
+        # right row FOR the last key (the carry-out candidate).
+        pid = first_key = None
+        cur_key, cur_pack = None, None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if pid is None:
+                pid = int(b["__pid"].iloc[0])
+                first_key = b[on].iloc[0]
+            new_key = b[on].iloc[-1]
+            rk = b[(b["__side"] == 0) & (b[on] == new_key)]
+            if len(rk):
+                cur_pack = tuple(
+                    _clean(rk[o].iloc[-1], o) for o in out_vals
+                )
+            elif not (cur_key is not None and new_key == cur_key):
+                cur_pack = None  # key changed with no right rows for it
+            cur_key = new_key
+        if pid is None:
+            return
+        row = {"__pid": pid, "first_key": first_key, "last_key": cur_key,
+               "has_pack": cur_pack is not None}
+        for i, o in enumerate(out_vals):
+            row[o] = cur_pack[i] if cur_pack is not None else None
+        yield pd.DataFrame([row])
+
+    summaries = sorted(
+        sorted_un.mapInPandas(summarize, schema=summ_schema).collect(),
+        key=lambda s: s["__pid"],
     )
+    # Driver prefix-scan (≤ #partitions rows): carry-in pack for each
+    # partition = the latest right row of its FIRST key from any earlier
+    # partition. Keys are range-contiguous, so only the boundary-
+    # straddling key can carry, and state threads through partitions
+    # that contain the key without right rows.
+    carry: dict[int, tuple] = {}
+    state_key, state_pack = None, None
+    for s in summaries:
+        if (
+            state_pack is not None
+            and state_key is not None
+            and s["first_key"] == state_key
+        ):
+            carry[s["__pid"]] = state_pack
+        if s["has_pack"]:
+            state_key = s["last_key"]
+            state_pack = tuple(s[o] for o in out_vals)
+        elif not (state_key is not None and s["last_key"] == state_key):
+            state_key, state_pack = s["last_key"], None
+
+    out_schema = T.StructType(list(left.schema.fields) + val_fields)
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state_key, state_pack, inited = None, None, False
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            if not inited:
+                pack = carry.get(int(b["__pid"].iloc[0]))
+                if pack is not None:
+                    state_key, state_pack = b[on].iloc[0], pack
+                inited = True
+            keys = b[on].to_numpy()
+            is_right = (b["__side"] == 0).to_numpy()
+            # src[i] = row index of the latest right row at/before i with
+            # the same key (vectorized per-key LOCF of row indices)
+            idx = np.where(is_right, np.arange(n, dtype=float), np.nan)
+            src = pd.Series(idx).groupby(keys).ffill().to_numpy()
+            no_src = np.isnan(src)
+            carry_mask = (
+                no_src & (keys == state_key)
+                if state_pack is not None
+                else np.zeros(n, dtype=bool)
+            )
+            valid = ~no_src
+            vi = src[valid].astype(np.int64)
+
+            lmask = ~is_right
+            out = b.loc[lmask, left_cols].copy()
+            for i, o in enumerate(out_vals):
+                colarr = b[o].to_numpy(dtype=object)
+                filled = np.full(n, None, dtype=object)
+                filled[valid] = colarr[vi]
+                if state_pack is not None:
+                    filled[carry_mask] = state_pack[i]
+                out[o] = [
+                    _clean(v, o) for v in filled[lmask]
+                ]
+            yield out
+
+            new_key = keys[-1]
+            rmask = is_right & (keys == new_key)
+            if rmask.any():
+                j = int(np.where(rmask)[0][-1])
+                state_key = new_key
+                state_pack = tuple(
+                    _clean(b[o].iloc[j], o) for o in out_vals
+                )
+            elif not (state_key is not None and new_key == state_key):
+                state_key, state_pack = new_key, None
+
+    return sorted_un.mapInPandas(fill, schema=out_schema)

@@ -214,9 +214,10 @@ def j4_asof_join(spark, sf_dir):
     click event joined to the latest SAME-USER error event at or before
     it — the crawl-shaped "policy in effect at fetch time" lookup.
     operators/temporal.py::asof_join implements the distributed shape:
-    union both sides, ONE shuffle by key, last-observation-carried-
-    forward window — never the O(|L|·|R|)-per-key theta join the oracle's
-    LATERAL spells out."""
+    union both sides, ONE range shuffle on (key, ts), partition-local
+    LOCF with driver-carried boundary state (no per-key window — a hot
+    key never serializes) — never the O(|L|·|R|)-per-key theta join the
+    oracle's LATERAL spells out."""
     from ..operators.temporal import asof_join
 
     events = load(spark, sf_dir, "events")

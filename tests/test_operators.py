@@ -457,6 +457,86 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_carries_whole_rows_not_columns(spark):
+    """A NULL value column in the winning right row must stay NULL — not
+    be backfilled from an OLDER right row (all carried values come from
+    the one latest right row)."""
+    from basic_common_crawl_pipeline_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("h1", 10, 100.0, 1), ("h1", 20, None, 2)],
+        "host string, ts long, delay double, rid long",
+    )
+    left = spark.createDataFrame(
+        [("h1", 25, "a")], "host string, ts long, tag string"
+    )
+    row = asof_join(
+        left, right, on="host", value_cols=("delay", "rid"),
+        right_order="rid",
+    ).collect()[0]
+    assert (row["delay_asof"], row["rid_asof"]) == (None, 2)
+
+
+def test_asof_join_scale_shape_and_determinism(spark):
+    """Scale contract of the two-phase as-of join: (a) no per-key Window
+    in the physical plan (a hot key never serializes through one task);
+    (b) output identical across shuffle-partition counts on a corpus
+    with one pathologically hot key, equal to an in-test per-key LOCF
+    reference."""
+    import random
+
+    from basic_common_crawl_pipeline_spark.operators.temporal import asof_join
+
+    rng = random.Random(11)
+    # hot key h0 gets ~80% of both sides; ties on ts included
+    lrows = [
+        (f"h{0 if rng.random() < 0.8 else rng.randrange(1, 6)}",
+         rng.randrange(0, 300), i)
+        for i in range(400)
+    ]
+    rrows = [
+        (f"h{0 if rng.random() < 0.8 else rng.randrange(1, 6)}",
+         rng.randrange(0, 300), float(i), i)
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, "host string, ts long, lid long")
+    right = spark.createDataFrame(
+        rrows, "host string, ts long, v double, rid long"
+    )
+
+    # reference: per-key LOCF computed in plain Python
+    by_key: dict = {}
+    for h, ts, v, rid in rrows:
+        by_key.setdefault(h, []).append((ts, rid, v))
+    expect = {}
+    for h, ts, lid in lrows:
+        cands = [c for c in by_key.get(h, []) if c[0] <= ts]
+        expect[lid] = max(cands)[1:] if cands else (None, None)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for np_ in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", np_)
+            df = asof_join(
+                left, right, on="host", value_cols=("rid", "v"),
+                right_order="rid",
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan, plan
+            outs.append(
+                sorted(
+                    (r["lid"], r["rid_asof"], r["v_asof"])
+                    for r in df.collect()
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == outs[1]
+    got = {lid: (rid, v) for lid, rid, v in outs[0]}
+    assert got == expect
+
+
 def test_bucketed_range_join_exact(spark):
     """Bucketed range join == naive theta join on a case with boundary
     hits, an interval spanning multiple cells, disjoint keys, and no
