@@ -51,9 +51,10 @@ def label_propagation_min(
     pair graph are the duplicate clusters, and min-id is the canonical
     representative. Near-dup components are clique-like (diameter ≤ 2-3),
     so a small fixed round count is exact there — and a FIXED count is
-    what makes the operator deterministic and oracle-checkable (a
-    converge-until-fixpoint loop is the production variant: same body,
-    driver loop on a changed-count).
+    what makes the operator deterministic and oracle-checkable
+    (``label_propagation_fixpoint`` is the converge-until-no-change
+    production variant: same round body, driver loop on a Σlabel
+    fixpoint test).
 
     One shuffle join + one aggregation per round. Unlike ``pagerank_int``
     (whose plan grows linearly), each round references the label frame
@@ -85,19 +86,98 @@ def label_propagation_min(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for it in range(iterations):
-        neigh = und.join(
-            labels, und["__y"] == labels["node"]
-        ).select(F.col("__x").alias("node"), "label")
-        labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        labels = _lp_round(und, labels)
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
             it + 1
         ) < iterations:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def _lp_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: label'(v) = min(label(v), min over neighbors)."""
+    neigh = und.join(
+        labels, und["__y"] == labels["node"]
+    ).select(F.col("__x").alias("node"), "label")
+    return (
+        labels.unionByName(neigh)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def label_propagation_fixpoint(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iterations: int = 64,
+    info: dict | None = None,
+) -> DataFrame:
+    """Converge-until-no-change connected components: the production
+    variant of ``label_propagation_min`` for graphs whose diameter is
+    unknown (same per-round body; a driver loop replaces the fixed round
+    count). Labels are node-monotone NON-INCREASING, so the frame is
+    converged exactly when Σ label stops changing — the termination
+    check is therefore ONE tiny aggregate per round (sum in
+    decimal(38,0): a 10^10-node graph with 64-bit ids overflows a
+    BIGINT sum), not a self-join changed-count. Each round: persist →
+    the sum aggregate fills the cache → wrap in a lazy localCheckpoint
+    (a zero-job block copy, per the CLAUDE.md cadence) → retire the
+    previous round's cache. Plan depth stays O(1) across any number of
+    rounds.
+
+    Round count is bounded by the largest component diameter (+1 to
+    observe the fixpoint); for path-shaped graphs at extreme scale the
+    log-round large-star/small-star rewrite is the refinement, but
+    near-dup cluster graphs — this operator's use here — are
+    clique-like with tiny diameters. ``max_iterations`` is a safety
+    bound: hitting it raises rather than silently returning
+    unconverged labels. Pass ``info={}`` to receive
+    ``info['rounds']``."""
+    endpoints = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+    )
+    if nodes is None:
+        nodes = endpoints.distinct()
+    else:
+        nodes = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .unionByName(endpoints)
+            .distinct()
+        )
+    und = edges.select(
+        F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("__x"), F.col(src_col).alias("__y"))
+    ).persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    prev_sum = None
+    prev_cache = None
+    rounds = 0
+    try:
+        for rounds in range(1, max_iterations + 1):
+            new_labels = _lp_round(und, labels).persist()
+            row = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]
+            cur_sum = row["s"]
+            labels = new_labels.localCheckpoint(eager=False)
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = new_labels
+            if prev_sum is not None and cur_sum == prev_sum:
+                if info is not None:
+                    info["rounds"] = rounds
+                return labels
+            prev_sum = cur_sum
+    finally:
+        und.unpersist()
+    raise RuntimeError(
+        f"label propagation did not converge in {max_iterations} rounds "
+        "(component diameter exceeds the bound); raise max_iterations"
+    )
 
 
 def pagerank_int(

@@ -79,6 +79,21 @@ DEDUP_STATE_SCHEMA = StructType(
 )
 
 
+def _merge_sorted_digests(
+    digests: np.ndarray, fresh_h: list[np.ndarray]
+) -> np.ndarray:
+    """Merge this batch's fresh digests into the (already sorted) state
+    array: sort ONLY the fresh batch (O(b log b)) and splice it in with a
+    single searchsorted + insert pass (O(n + b)). A full re-sort of the
+    concatenation would be O((n+b) log(n+b)) PER MICRO-BATCH — at 10^8
+    urls per partition that re-sort, not the membership probes, would
+    dominate every batch."""
+    fresh = np.sort(np.concatenate(fresh_h))
+    if len(digests) == 0:
+        return fresh
+    return np.insert(digests, np.searchsorted(digests, fresh), fresh)
+
+
 def _make_dedup_update(m_bits: int, k: int):
     def _dedup_update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -132,9 +147,7 @@ def _make_dedup_update(m_bits: int, k: int):
                 fresh_h.append(hu[new])
                 out.append(pd.Series(urls[new]))
         if fresh_h:
-            digests = np.sort(
-                np.concatenate([digests, np.concatenate(fresh_h)])
-            )
+            digests = _merge_sorted_digests(digests, fresh_h)
         state.update((bits.tobytes(), digests.tobytes()))
         yield pd.DataFrame(
             {

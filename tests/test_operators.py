@@ -414,6 +414,58 @@ def test_label_propagation_components(spark):
     assert set(full.values()) == {1}
 
 
+def test_label_propagation_fixpoint_converges(spark):
+    """Fixpoint variant: a deep-diameter chain (where 4 fixed rounds are
+    provably insufficient) converges to one component; on clique-like
+    graphs it equals the fixed-round form; round count is reported and
+    bounded by diameter + 1; max_iterations raises instead of returning
+    unconverged labels."""
+    import pytest as _pytest
+
+    from basic_common_crawl_pipeline_spark.operators.graph import (
+        label_propagation_fixpoint,
+        label_propagation_min,
+    )
+
+    # chain 0-1-...-20: diameter 20 >> 4 fixed rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    fixed4 = {
+        r["node"]: r["label"]
+        for r in label_propagation_min(chain, iterations=4).collect()
+    }
+    assert set(fixed4.values()) != {0}  # 4 rounds provably insufficient
+    info: dict = {}
+    fp = {
+        r["node"]: r["label"]
+        for r in label_propagation_fixpoint(chain, info=info).collect()
+    }
+    assert fp == {i: 0 for i in range(21)}
+    assert info["rounds"] <= 22
+
+    # clique-like near-dup graph + isolated node: fixpoint == fixed-round
+    cliq = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "doc_id long"
+    )
+    fixed = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation_min(cliq, iterations=4, nodes=nodes).collect()
+    )
+    fp2 = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation_fixpoint(cliq, nodes=nodes).collect()
+    )
+    assert fp2 == fixed
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_fixpoint(chain, max_iterations=3)
+
+
 def test_asof_join_semantics(spark):
     """Hand-checked as-of join: inclusive <= at equal timestamps, max
     tiebreak among same-ts snapshots, null before the first snapshot,
@@ -730,3 +782,42 @@ def test_seen_dedup_state_is_bitset_plus_digests():
         bits2, digests2 = state.get
         assert len(bits2) == m_bits // 8
         assert len(digests2) == 8 * 50
+
+
+def test_seen_dedup_digest_merge_is_incremental():
+    """The per-batch state update must MERGE the sorted digest array
+    (sort only the fresh batch, splice with searchsorted+insert), never
+    re-sort the whole history: with a large existing state and a tiny
+    fresh batch, np.sort runs only over fresh-batch-sized input. Result
+    equals the full re-sort bit-for-bit."""
+    import numpy as np
+
+    from basic_common_crawl_pipeline_spark.streaming import stateful
+
+    rng = np.random.default_rng(3)
+    old = np.sort(rng.integers(0, 1 << 63, 100_000, dtype=np.uint64))
+    fresh = [
+        rng.integers(0, 1 << 63, 40, dtype=np.uint64),
+        rng.integers(0, 1 << 63, 25, dtype=np.uint64),
+    ]
+
+    sorted_sizes = []
+    real_sort = stateful.np.sort
+
+    def spy_sort(a, *args, **kw):
+        sorted_sizes.append(len(a))
+        return real_sort(a, *args, **kw)
+
+    stateful.np.sort = spy_sort
+    try:
+        merged = stateful._merge_sorted_digests(old, [f.copy() for f in fresh])
+    finally:
+        stateful.np.sort = real_sort
+    assert max(sorted_sizes) == 65  # only the fresh batch was sorted
+    expect = real_sort(np.concatenate([old] + fresh))
+    assert np.array_equal(merged, expect)
+    # empty-state path
+    assert np.array_equal(
+        stateful._merge_sorted_digests(np.empty(0, dtype=np.uint64), fresh),
+        real_sort(np.concatenate(fresh)),
+    )
