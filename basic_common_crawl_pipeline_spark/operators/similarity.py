@@ -249,6 +249,67 @@ def ivf_centroids(
     ]
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    iters: int = 10,
+    info: dict | None = None,
+) -> list[list[float]]:
+    """Spherical k-means coarse centroids trained on a deterministic
+    sample — the production answer to ``ivf_centroids``'s honest
+    weakness (fixed random centroids ignore the data distribution, so
+    inverted-list sizes are unbounded-skew on real corpora; trained
+    centroids sit inside the data's clusters and split its mass).
+
+    Scale contract: the ONLY distributed work is one TakeOrdered pass
+    (rows ranked by ``xxhash64(id)`` — a deterministic, content-defined
+    sample independent of partitioning; top-``max_sample`` is bounded
+    driver memory regardless of corpus size). Lloyd's iterations then
+    run driver-side in numpy on the ≤``max_sample``×dim block —
+    O(sample · n_lists · dim) per iter, metadata-scale. Init is the
+    first ``n_lists`` sample rows in hash order (deterministic);
+    assignment is cosine (matching ``ivf_assign``); empty lists keep
+    their previous centroid. Centroids are rounded to 4 decimals so
+    they embed as oracle literals exactly like the fixed ones.
+
+    Pass ``info={}`` to receive ``info['sample_list_counts']`` — the
+    per-list sample occupancy, the skew signal to check before writing
+    a 10^10-row layout partitioned by ``list_id``."""
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.array([[float(c) for c in r["v"]] for r in rows], dtype=np.float64)
+    if len(x) < n_lists:
+        raise ValueError(f"sample ({len(x)}) smaller than n_lists ({n_lists})")
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = xn[:n_lists].copy()
+    assign = None
+    for _ in range(iters):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for j in range(n_lists):
+            members = xn[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    if info is not None:
+        info["sample_list_counts"] = np.bincount(
+            assign, minlength=n_lists
+        ).tolist()
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[round(float(c), 4) for c in row] for row in cn]
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]] | None = None,

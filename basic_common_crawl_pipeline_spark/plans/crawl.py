@@ -104,7 +104,9 @@ class MetricsServer:
     ``run_crawl(..., progress=server.update)``. ``port=0`` binds an
     ephemeral port (see ``.port``)."""
 
-    def __init__(self, port: int = 0, prefix: str = "crawl") -> None:
+    def __init__(
+        self, port: int = 0, prefix: str = "crawl", host: str = "127.0.0.1"
+    ) -> None:
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -130,7 +132,10 @@ class MetricsServer:
             def log_message(self, *_args):  # quiet
                 pass
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # loopback by default: the endpoint is unauthenticated, so
+        # exposing it on every interface is an explicit opt-in
+        # (host="0.0.0.0") for real scrape configs, not the default
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -384,17 +389,23 @@ def run_crawl(
                         for name in ("seen", "crawl_order", "results"):
                             store.compact(spark, name)
 
+                # resolve the rebase BEFORE submitting the commit:
+                # read_table resolves the manifest's delta-path list at
+                # CALL time, so reading after the submit races the
+                # background CURRENT flip — if the flip lands first, seen
+                # would already include this wave's processed delta and
+                # the unionByName below would double it
+                base_seen = (
+                    store.read_table(spark, "seen")
+                    if committed_this_run
+                    else state.seen
+                )
                 pending = committer.submit(_commit_and_maybe_compact)
                 retiring = out.cached + (
                     (new_bloom,) if new_bloom is not None else ()
                 )
                 # next-wave state: depth-1 plans over committed parquet +
                 # this wave's checkpoint leaves — never reloaded eagerly
-                base_seen = (
-                    store.read_table(spark, "seen")
-                    if committed_this_run
-                    else state.seen
-                )
                 state.frontier = out.new_frontier
                 state.seen = base_seen.unionByName(out.processed)
                 state.seen_bloom = new_bloom

@@ -40,6 +40,12 @@ def main() -> None:
         "crawl runs (the reference's tracing_and_metrics endpoint; its "
         "scrape_configs.yml points at :9000/:9001)",
     )
+    crawl.add_argument(
+        "--metrics-host", default="127.0.0.1",
+        help="bind host for the metrics endpoint (loopback by default; "
+        "the endpoint is unauthenticated — pass 0.0.0.0 explicitly for "
+        "a real scrape config)",
+    )
 
     demo = sub.add_parser("demo", help="crawl pages derived from testdata")
     demo.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -81,8 +87,15 @@ def main() -> None:
     if args.metrics_port is not None:
         from basic_common_crawl_pipeline_spark.plans.crawl import MetricsServer
 
-        server = MetricsServer(port=args.metrics_port)
-        print(f"serving metrics at http://0.0.0.0:{server.port}/metrics")
+        server = MetricsServer(
+            port=args.metrics_port,
+            host=getattr(args, "metrics_host", "127.0.0.1"),
+        )
+        print(
+            "serving metrics at "
+            f"http://{getattr(args, 'metrics_host', '127.0.0.1')}:"
+            f"{server.port}/metrics"
+        )
     try:
         state = run_crawl(
             spark, pages, seeds, robots, config,

@@ -821,3 +821,57 @@ def test_seen_dedup_digest_merge_is_incremental():
         stateful._merge_sorted_digests(np.empty(0, dtype=np.uint64), fresh),
         real_sort(np.concatenate(fresh)),
     )
+
+
+def test_trained_ivf_centroids_beat_fixed(spark):
+    """k-means-trained coarse centroids (train_ivf_centroids) must match
+    or beat the fixed random centroids on the test corpus: mean top-10
+    recall at nprobe=2 over 10 queries >= the fixed variant's (measured:
+    0.56 vs 0.48 — everything is deterministic, so these are stable),
+    every inverted list non-empty, and the sample occupancy report
+    present. The fixed default stays for the oracle queries."""
+    import statistics
+
+    import numpy as np
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    info: dict = {}
+    trained = train_ivf_centroids(emb, n_lists=8, info=info)
+    assert sum(info["sample_list_counts"]) == emb.count()
+    assert min(info["sample_list_counts"]) > 0
+    fixed = ivf_centroids(n_lists=8)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def brute10(qi):
+        cos = Vn @ Vn[ids.index(qi)]
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (-np.floor(cos[i] * 10000 + 0.5) / 10000, ids[i]),
+        )
+        return {ids[i] for i in order[:10]}
+
+    recall = {"fixed": [], "trained": []}
+    for qi in ids[:10]:
+        want = brute10(qi)
+        for name, cents in (("fixed", fixed), ("trained", trained)):
+            got = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    emb, qi, k=10, nprobe=2, centroids=cents
+                ).collect()
+            }
+            recall[name].append(len(got & want) / 10)
+    mean_fixed = statistics.mean(recall["fixed"])
+    mean_trained = statistics.mean(recall["trained"])
+    assert mean_trained >= mean_fixed, (mean_trained, mean_fixed)
+    assert mean_trained >= 0.5
