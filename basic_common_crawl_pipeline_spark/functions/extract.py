@@ -138,20 +138,82 @@ def extract_text(html: bytes | str | None) -> str | None:
     return out if out else None
 
 
-def split_http_response(body: bytes) -> bytes | None:
+class _GoTextExtractor(HTMLParser):
+    """goquery-equivalent text walk (`golang/worker/worker.go:36-51`):
+    remove script/style subtrees, concatenate EVERY remaining text node
+    (``doc.Text()`` — including head/title, unlike the trafilatura-style
+    canonical extractor), then collapse all whitespace to single spaces.
+    No block structure, no table drop, no block dedup."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_depth = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in ("script", "style"):
+            self._drop_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style") and self._drop_depth > 0:
+            self._drop_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth == 0:
+            self.parts.append(data)
+
+
+def extract_text_go(html: bytes | str | None) -> str | None:
+    """The Go worker's extractor as a swappable variant
+    (`golang/worker/worker.go:36-51`): one whitespace-collapsed line of
+    ALL text nodes outside script/style. The three reference
+    implementations genuinely disagree on extraction (Readme.md notes
+    the Python worker differs again); the engine pins the Rust
+    trafilatura semantics as canonical (``extract_text``) and offers
+    this variant behind ``CrawlConfig.extractor="go"``. Equivalent to
+    goquery on well-formed HTML; both sides of the oracle comparison run
+    THIS function, so crawl-equality tests stay byte-exact regardless of
+    parser edge cases. Returns None for empty output (the Go worker
+    treats ``text != ""`` as the success gate)."""
+    decoded = decode_lossy(html)
+    if decoded is None or not decoded.strip():
+        return None
+    decoded = _COMMENT_RE.sub("", decoded)
+    parser = _GoTextExtractor()
+    try:
+        parser.feed(decoded)
+        parser.close()
+    except Exception:
+        return None
+    text = " ".join("".join(parser.parts).split())
+    return text if text else None
+
+
+# UD2 swappable-extractor registry: plans/wave.py and plans/oracle.py both
+# resolve CrawlConfig.extractor here, so any registered scalar stays
+# byte-identical between the Spark path and the single-node oracle.
+EXTRACTORS: dict[str, object] = {
+    "rust": extract_text,
+    "go": extract_text_go,
+}
+
+
+def split_http_response(body: bytes, variant: str = "rust") -> bytes | None:
     """HTTP header/body split (operator P5): find the first blank line and
     return everything after it, or None when absent.
 
-    Canonical semantics = Rust (`rust/src/bin/worker.rs:57-66`): try
-    ``\\r\\n\\r\\n`` first then ``\\n\\n`` (the Go variant,
-    `golang/worker/worker.go:104-113`, had an off-by-2 on the ``\\n\\n``
-    path that we do not reproduce); the returned slice *excludes* the
-    separator. None → body-split failure skip (F8).
+    Canonical semantics = Rust (`rust/src/bin/worker.rs:57-66`,
+    ``variant="rust"``): try ``\\r\\n\\r\\n`` first then ``\\n\\n``; the
+    returned slice *excludes* the separator. ``variant="go"`` reproduces
+    the Go worker bug-for-bug (`golang/worker/worker.go:104-113`): the
+    offset is ALWAYS ``+4``, so on the ``\\n\\n`` path the first two body
+    bytes are silently dropped (the off-by-2). None → body-split failure
+    skip (F8).
     """
     idx = body.find(b"\r\n\r\n")
     if idx >= 0:
         return body[idx + 4 :]
     idx = body.find(b"\n\n")
     if idx >= 0:
-        return body[idx + 2 :]
+        return body[idx + (4 if variant == "go" else 2) :]
     return None

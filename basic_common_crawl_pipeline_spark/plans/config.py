@@ -86,6 +86,12 @@ class CrawlConfig:
     # per read. Runs on the commit thread, overlapped with the next
     # wave's computation. None → never compact.
     compact_every_n_waves: int | None = None
+    # UD2 swappable extractor: key into functions/extract.py::EXTRACTORS.
+    # "rust" = trafilatura-semantics canonical (T2 byte-identity pin);
+    # "go" = the goquery walk (golang/worker/worker.go:36-51). The wave
+    # AND the single-node oracle both resolve this key, so crawl-equality
+    # tests hold under either extractor.
+    extractor: str = "rust"
 
 
 def host_budget(wave_seconds: float, crawl_delay: float) -> int:

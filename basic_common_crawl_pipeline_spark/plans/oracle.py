@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
-from ..functions.extract import extract_text
+from ..functions.extract import EXTRACTORS
 from ..functions.links import extract_links
 from ..functions.urls import canonicalize_url, host_of, surt
 from .config import CrawlConfig, host_budget
@@ -109,7 +109,7 @@ def run_oracle(
                 len(html) if isinstance(html, (bytes, bytearray))
                 else len(html.encode("utf-8")) if html is not None else 0
             )
-            text = extract_text(page["html"])
+            text = EXTRACTORS[config.extractor](page["html"])
             result.crawl_order.append(
                 {
                     "seq": seq,

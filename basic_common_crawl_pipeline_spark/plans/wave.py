@@ -66,7 +66,9 @@ _EXTRACT_SCHEMA = StructType(
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], through_cols: tuple[str, ...] = ()
+    batches: Iterator[pd.DataFrame],
+    through_cols: tuple[str, ...] = (),
+    extractor: str = "rust",
 ) -> Iterator[pd.DataFrame]:
     """html → (text, out-links with host+surt); the single hot-path Python
     crossing per wave. Uses the same scalar core as the oracle →
@@ -79,10 +81,13 @@ def _extract_batches(
     re-joining extracted back to ``selected`` removes a whole exchange of
     the text-fat extracted rows per wave — the same through-column rule
     the WARC fetch path uses (sources/warc.py)."""
+    from ..functions.extract import EXTRACTORS
+
+    extract_fn = EXTRACTORS[extractor]
     for batch in batches:
         texts, links, nbytes = [], [], []
         for url, html in zip(batch["canon_url"], batch["html"]):
-            texts.append(extract_text(html))
+            texts.append(extract_fn(html))
             links.append(
                 [
                     {"url": c, "l_host": h, "l_surt": s}
@@ -340,7 +345,11 @@ def run_wave(
     extracted = (
         fetched.select("canon_url", *through, "html")
         .mapInPandas(
-            partial(_extract_batches, through_cols=through),
+            partial(
+                _extract_batches,
+                through_cols=through,
+                extractor=config.extractor,
+            ),
             schema=extract_schema,
         )
         .persist()

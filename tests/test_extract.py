@@ -112,3 +112,45 @@ def test_extract_links_resolution_and_dedup():
         "http://other.com/abs",
         "http://base.com/dir/page",
     ]
+
+
+def test_split_http_response_go_variant_off_by_two():
+    """variant="go" reproduces golang/worker/worker.go:104-113 exactly:
+    always +4, so the LF-only path drops the first two body bytes; the
+    CRLF path is identical to canonical."""
+    from basic_common_crawl_pipeline_spark.functions.extract import (
+        split_http_response,
+    )
+
+    crlf = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>"
+    lf = b"HTTP/1.1 200 OK\nX: y\n\n<html>"
+    assert split_http_response(crlf, variant="go") == b"<html>"
+    assert split_http_response(lf, variant="go") == b"tml>"  # the off-by-2
+    assert split_http_response(lf) == b"<html>"              # canonical
+    assert split_http_response(b"no blank line", variant="go") is None
+
+
+def test_extract_text_go_variant_semantics():
+    """Go extractor (goquery walk): includes head/title text, keeps
+    tables, no block dedup, single whitespace-collapsed line; script and
+    style subtrees removed; empty → None."""
+    from basic_common_crawl_pipeline_spark.functions.extract import (
+        extract_text,
+        extract_text_go,
+    )
+
+    html = (
+        b"<html><head><title>T</title><style>.x{}</style></head>"
+        b"<body><p>dup</p><p>dup</p>"
+        b"<table><tr><td>cell</td></tr></table>"
+        b"<script>var x;</script><p>  a \n b </p></body></html>"
+    )
+    # goquery's doc.Text() concatenates text NODES with no separator
+    # between elements — "T","dup","dup","cell" run together exactly as
+    # the Go binary would emit them
+    assert extract_text_go(html) == "Tdupdupcell a b"
+    # canonical differs on every divergence the references disagree on:
+    # block separation, block dedup, table drop
+    assert extract_text(html) == "T\ndup\na b"
+    assert extract_text_go(b"<p>   </p>") is None
+    assert extract_text_go(None) is None
