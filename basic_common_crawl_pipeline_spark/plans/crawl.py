@@ -431,8 +431,14 @@ def run_crawl(
         # re-run the last wave from scratch (mid-crawl waves get this for
         # free from the next wave's action / the background commit)
         if store is None and retiring:
-            state.frontier.count()
-            state.seen.count()
+            # ONE job for both leaves: counting the union computes (and
+            # block-copies) both checkpoint RDDs in a single action —
+            # two separate counts pay the job-submission latency twice
+            from pyspark.sql import functions as F
+
+            state.frontier.select(F.lit(1).alias("__one")).unionByName(
+                state.seen.select(F.lit(1).alias("__one"))
+            ).count()
     finally:
         if pending is not None:
             pending.result()
