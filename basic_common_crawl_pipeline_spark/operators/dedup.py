@@ -115,13 +115,19 @@ def _cap_cells(
     removed first. ``cell_cap=None`` disables (exact oracle mode)."""
     if cell_cap is None:
         return banded
-    kept_cells = (
+    # anti-join against the HOT set, not equi-join against the kept set:
+    # hot cells are ~0 rows on a healthy corpus (every cell is one
+    # partial-agg pass + a broadcast of almost nothing), while kept
+    # cells ≈ all cells — shipping those through a shuffle join would
+    # cost more than the guard saves. The hot set is bounded by
+    # n_rows/cell_cap, so the broadcast can never blow up.
+    hot_cells = (
         banded.groupBy(*keys)
         .agg(F.count("*").alias("cell_n"))
-        .filter(F.col("cell_n") <= cell_cap)
+        .filter(F.col("cell_n") > cell_cap)
         .select(*keys)
     )
-    return banded.join(kept_cells, list(keys))
+    return banded.join(F.broadcast(hot_cells), list(keys), "left_anti")
 
 
 def lsh_candidate_pairs(
