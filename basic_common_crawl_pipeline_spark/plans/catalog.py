@@ -241,6 +241,61 @@ def j4_asof_join(spark, sf_dir):
 
 
 @register(
+    "j4_asof_nulls",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ),
+    errs AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id,
+           c.user_id,
+           {_r4("r.value")} AS policy_value,
+           r.event_id AS policy_event
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT e.value, e.event_id FROM errs e
+      WHERE e.user_id = c.user_id AND e.ts <= c.ts
+      ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def j4_asof_nulls(spark, sf_dir):
+    """AS-OF join, whole-row carry semantics under NULL value columns:
+    every third error's value is NULLed, so the latest-right-row pick and
+    the carried values can disagree unless ALL carried columns come from
+    the ONE winning right row (a LOCF that forward-fills each column
+    independently would backfill the NULL from an older row — the
+    divergence the oracle's LATERAL exposes)."""
+    from ..operators.temporal import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    joined = asof_join(
+        clicks, errs, on="user_id",
+        value_cols=("value", "event_id"), right_order="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        round4(F.col("value_asof")).alias("policy_value"),
+        F.col("event_id_asof").alias("policy_event"),
+    )
+
+
+@register(
     "j5_range_join",
     """
     WITH clicks AS (
