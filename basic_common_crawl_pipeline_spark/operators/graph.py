@@ -113,6 +113,7 @@ def label_propagation_fixpoint(
     nodes: DataFrame | None = None,
     max_iterations: int = 64,
     info: dict | None = None,
+    cache: list | None = None,
 ) -> DataFrame:
     """Converge-until-no-change connected components: the production
     variant of ``label_propagation_min`` for graphs whose diameter is
@@ -134,7 +135,11 @@ def label_propagation_fixpoint(
     clique-like with tiny diameters. ``max_iterations`` is a safety
     bound: hitting it raises rather than silently returning
     unconverged labels. Pass ``info={}`` to receive
-    ``info['rounds']``."""
+    ``info['rounds']``. The converged round's frame stays persisted
+    (the returned lazy checkpoint block-copies from it on first use) —
+    pass a list as ``cache`` to own unpersisting it, as with
+    operators/ordering.py; every earlier round's cache is retired
+    inside the loop, including on the non-convergence raise."""
     endpoints = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -155,7 +160,7 @@ def label_propagation_fixpoint(
     labels = nodes.select("node", F.col("node").alias("label"))
     prev_sum = None
     prev_cache = None
-    rounds = 0
+    converged = False
     try:
         for rounds in range(1, max_iterations + 1):
             new_labels = _lp_round(und, labels).persist()
@@ -168,12 +173,19 @@ def label_propagation_fixpoint(
                 prev_cache.unpersist()
             prev_cache = new_labels
             if prev_sum is not None and cur_sum == prev_sum:
+                converged = True
                 if info is not None:
                     info["rounds"] = rounds
+                if cache is not None:
+                    cache.append(new_labels)
                 return labels
             prev_sum = cur_sum
     finally:
         und.unpersist()
+        if not converged and prev_cache is not None:
+            # non-convergence raise (or caller abort): the labels are
+            # discarded, so retire the last round's cache too
+            prev_cache.unpersist()
     raise RuntimeError(
         f"label propagation did not converge in {max_iterations} rounds "
         "(component diameter exceeds the bound); raise max_iterations"

@@ -150,16 +150,12 @@ def neardup_pairs(
     Returns (a, b, cos) with a < b."""
     if planes is None:
         planes = random_hyperplanes(bands * rows_per_band)
+    from .dedup import _cap_cells
+
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sigs = rh_signature(vecs, planes, vec_col="v").select("id", "sig")
     banded = _banded(sigs, bands, rows_per_band)
-    kept_cells = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.count("*").alias("cell_n"))
-        .filter(F.col("cell_n") <= cell_cap)
-        .select("band_id", "band_key")
-    )
-    in_cells = banded.join(kept_cells, ["band_id", "band_key"])
+    in_cells = _cap_cells(banded, cell_cap)
     left = in_cells.alias("l")
     right = in_cells.alias("r")
     pairs = (
@@ -294,7 +290,6 @@ def train_ivf_centroids(
         raise ValueError(f"sample ({len(x)}) smaller than n_lists ({n_lists})")
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = xn[:n_lists].copy()
-    assign = None
     for _ in range(iters):
         cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         assign = np.argmax(xn @ cn.T, axis=1)
@@ -302,12 +297,19 @@ def train_ivf_centroids(
             members = xn[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
-    if info is not None:
-        info["sample_list_counts"] = np.bincount(
-            assign, minlength=n_lists
-        ).tolist()
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    return [[round(float(c), 4) for c in row] for row in cn]
+    out = [[round(float(c), 4) for c in row] for row in cn]
+    if info is not None:
+        # occupancy of the centroids actually RETURNED (renormalized +
+        # rounded), not the pre-update iterate — the report is the skew
+        # signal for a list_id-partitioned layout, so it must describe
+        # the assignment a consumer of the return value would get
+        final = np.array(out, dtype=np.float64)
+        final /= np.linalg.norm(final, axis=1, keepdims=True)
+        info["sample_list_counts"] = np.bincount(
+            np.argmax(xn @ final.T, axis=1), minlength=n_lists
+        ).tolist()
+    return out
 
 
 def ivf_assign(

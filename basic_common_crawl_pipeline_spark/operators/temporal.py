@@ -173,19 +173,41 @@ def asof_join(
     in the physical plan, so a hot key costs nothing beyond its share of
     the range shuffle. Runs one small summary action at call time; the
     sorted union is persisted (pass a list as ``cache`` to own
-    unpersisting it, as with operators/ordering.py)."""
+    unpersisting it, as with operators/ordering.py).
+
+    Integer columns (left AND value) travel through the Arrow passes as
+    STRINGS: every column of the tagged union contains nulls for the
+    other side's rows, and Arrow→pandas coerces nullable int64 to
+    float64 — which silently rounds values past 2⁵³ (e.g. this repo's
+    own 60-bit md5-derived ids). Decimal-string round-tripping is
+    exact at any width; the final select casts back to the declared
+    types. Known limitation: a genuine NaN in a DOUBLE value column is
+    indistinguishable from NULL after the pandas crossing and comes
+    back as NULL."""
     if right_order is None:
         right_order = value_cols[0]
     left_cols = left.columns
     out_vals = [f"{c}{suffix}" for c in value_cols]
+    int_vals = {
+        o for c, o in zip(value_cols, out_vals)
+        if isinstance(right.schema[c].dataType, _INT_TYPES)
+    }
+    int_lefts = {
+        c for c in left_cols
+        if c != on and isinstance(left.schema[c].dataType, _INT_TYPES)
+    }
+
+    def _t(col, name, ints):
+        return col.cast("string") if name in ints else col
 
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_order).alias("__ord"),
-        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+        *[_t(F.col(c), o, int_vals).alias(o)
+          for c, o in zip(value_cols, out_vals)],
+        *[_t(F.lit(None).cast(left.schema[c].dataType), c, int_lefts).alias(c)
           for c in left_cols if c != on],
     )
     l = left.select(
@@ -193,9 +215,10 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(right.schema[right_order].dataType).alias("__ord"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+        *[_t(F.lit(None).cast(right.schema[c].dataType), o, int_vals).alias(o)
           for c, o in zip(value_cols, out_vals)],
-        *[F.col(c) for c in left_cols if c != on],
+        *[_t(F.col(c), c, int_lefts).alias(c)
+          for c in left_cols if c != on],
     )
     un = r.unionByName(l)
     sorted_un = (
@@ -209,21 +232,17 @@ def asof_join(
 
     key_t = un.schema[on].dataType
     val_fields = [
-        T.StructField(o, right.schema[c].dataType)
+        T.StructField(
+            o,
+            T.StringType() if o in int_vals else right.schema[c].dataType,
+        )
         for c, o in zip(value_cols, out_vals)
     ]
-    int_vals = {
-        o for c, o in zip(value_cols, out_vals)
-        if isinstance(right.schema[c].dataType, _INT_TYPES)
-    }
 
-    def _clean(v, name):
-        """pandas null (None/NaN/NaT) → None; undo the float64 coercion
-        pandas applies to integer columns containing nulls."""
+    def _clean(v):
+        """pandas null (None/NaN/NaT) → None."""
         if v is None or v != v:
             return None
-        if name in int_vals:
-            return int(v)
         return v
 
     summ_schema = T.StructType(
@@ -251,7 +270,7 @@ def asof_join(
             rk = b[(b["__side"] == 0) & (b[on] == new_key)]
             if len(rk):
                 cur_pack = tuple(
-                    _clean(rk[o].iloc[-1], o) for o in out_vals
+                    _clean(rk[o].iloc[-1]) for o in out_vals
                 )
             elif not (cur_key is not None and new_key == cur_key):
                 cur_pack = None  # key changed with no right rows for it
@@ -288,7 +307,15 @@ def asof_join(
         elif not (state_key is not None and s["last_key"] == state_key):
             state_key, state_pack = s["last_key"], None
 
-    out_schema = T.StructType(list(left.schema.fields) + val_fields)
+    left_fields = [
+        T.StructField(
+            f.name,
+            T.StringType() if f.name in int_lefts else f.dataType,
+            f.nullable,
+        )
+        for f in left.schema.fields
+    ]
+    out_schema = T.StructType(left_fields + val_fields)
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state_key, state_pack, inited = None, None, False
@@ -324,9 +351,7 @@ def asof_join(
                 filled[valid] = colarr[vi]
                 if state_pack is not None:
                     filled[carry_mask] = state_pack[i]
-                out[o] = [
-                    _clean(v, o) for v in filled[lmask]
-                ]
+                out[o] = [_clean(v) for v in filled[lmask]]
             yield out
 
             new_key = keys[-1]
@@ -335,9 +360,24 @@ def asof_join(
                 j = int(np.where(rmask)[0][-1])
                 state_key = new_key
                 state_pack = tuple(
-                    _clean(b[o].iloc[j], o) for o in out_vals
+                    _clean(b[o].iloc[j]) for o in out_vals
                 )
             elif not (state_key is not None and new_key == state_key):
                 state_key, state_pack = new_key, None
 
-    return sorted_un.mapInPandas(fill, schema=out_schema)
+    filled_df = sorted_un.mapInPandas(fill, schema=out_schema)
+    # cast the string-transported integer columns back to their real types
+    return filled_df.select(
+        *[
+            F.col(c).cast(left.schema[c].dataType).alias(c)
+            if c in int_lefts
+            else F.col(c)
+            for c in left_cols
+        ],
+        *[
+            F.col(o).cast(right.schema[c].dataType).alias(o)
+            if o in int_vals
+            else F.col(o)
+            for c, o in zip(value_cols, out_vals)
+        ],
+    )

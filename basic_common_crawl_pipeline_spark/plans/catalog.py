@@ -2357,6 +2357,17 @@ def pages_from_documents(spark, sf_dir, replicate: int = 1, seeds_mod: int = 29)
     return pages, seeds, robots
 
 
+def release_fixture(spark, sf_dir, replicate: int = 1, seeds_mod: int = 29):
+    """Unpersist AND forget a memoized fixture (the bench uses this for
+    its big replicated corpora). A bare ``pages.unpersist()`` by a
+    caller would silently evict the blocks while the memo kept handing
+    out the now-cold frame — release through here instead."""
+    key = (spark.sparkContext.applicationId, sf_dir, replicate, seeds_mod)
+    entry = _FIXTURE_CACHE.pop(key, None)
+    if entry is not None:
+        entry[0].unpersist()
+
+
 @register(
     "latest_capture_dedup",
     """

@@ -38,7 +38,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.extract import extract_text
 from ..functions.links import extract_links_rich
 from ..functions.urls import canon_host_surt
 from ..operators.ordering import global_seq_assign, global_seq_sorted

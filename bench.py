@@ -57,8 +57,7 @@ def main() -> None:
     pages, seeds, robots = catalog.pages_from_documents(
         spark, sf_dir, replicate=replicate, seeds_mod=3
     )
-    pages = pages.persist()
-    n_pages = pages.count()  # corpus materialized before the clock starts
+    n_pages = pages.count()  # memoized persisted by pages_from_documents
     # the seed list and robots table are crawl INPUTS — deriving them from
     # the documents fixture (a serial 2-partition crossJoin scan) is setup,
     # not crawl work; materialize them before the clock like the corpus
@@ -106,8 +105,7 @@ def main() -> None:
     bpages, bseeds, _brobots = catalog.pages_from_documents(
         spark, sf_dir, replicate=big_rep, seeds_mod=1
     )
-    bpages = bpages.persist()
-    n_bpages = bpages.count()
+    n_bpages = bpages.count()  # memoized persisted by pages_from_documents
     bfrontier = frontier_from_seeds(bseeds).localCheckpoint(True)
     n_bfrontier = bfrontier.count()
     brobots = _brobots.persist()
@@ -136,7 +134,9 @@ def main() -> None:
     throughput["bigwave_frontier"] = n_bfrontier
     throughput["bigwave_urls"] = big_urls
     throughput["bigwave_urls_per_sec"] = round(big_urls / big_sec, 2)
-    bpages.unpersist()
+    # release through the memo (a bare unpersist would leave the fixture
+    # cache handing out a cold frame for this key)
+    catalog.release_fixture(spark, sf_dir, replicate=big_rep, seeds_mod=1)
 
     # -- worker hot loop in isolation: full-corpus extract+links ----------
     # (the reference worker's per-record loop, rust/src/bin/worker.rs:40-68,

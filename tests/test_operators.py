@@ -529,6 +529,31 @@ def test_asof_join_carries_whole_rows_not_columns(spark):
     assert (row["delay_asof"], row["rid_asof"]) == (None, 2)
 
 
+def test_asof_join_exact_for_60bit_ids(spark):
+    """Integer value/left columns past 2^53 must survive the Arrow
+    passes bit-exactly (the repo's md5-derived 60-bit id convention):
+    nullable int64 → pandas float64 would silently round them, so they
+    travel as decimal strings and cast back. Schema types unchanged."""
+    from basic_common_crawl_pipeline_spark.operators.temporal import asof_join
+
+    big = (1 << 60) + 1  # not representable in float64
+    right = spark.createDataFrame(
+        [("h1", 10, big), ("h1", 20, big + 2)],
+        "host string, ts long, rid long",
+    )
+    left = spark.createDataFrame(
+        [("h1", 15, big + 4), ("h1", 25, big + 6)],
+        "host string, ts long, lid long",
+    )
+    df = asof_join(left, right, on="host", value_cols=("rid",))
+    assert dict(df.dtypes) == {
+        "host": "string", "ts": "bigint", "lid": "bigint",
+        "rid_asof": "bigint",
+    }
+    got = {r["lid"]: r["rid_asof"] for r in df.collect()}
+    assert got == {big + 4: big, big + 6: big + 2}
+
+
 def test_asof_join_scale_shape_and_determinism(spark):
     """Scale contract of the two-phase as-of join: (a) no per-key Window
     in the physical plan (a hot key never serializes through one task);
