@@ -196,6 +196,9 @@ def main() -> None:
         "ann_cosine_topk_ivf",
         "emb_neardup_pairs",
         "link_pagerank",
+        "j4_asof_join",
+        "j5_range_join",
+        "rollup_hypertable",
         "text_quality",
         "stream_windowed_events",
         "warc_ingest",
