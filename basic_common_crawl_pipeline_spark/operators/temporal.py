@@ -16,23 +16,20 @@ Skew (10^10 rows): a per-key window (``Window.partitionBy(key)``) would
 serialize a pathologically hot key through ONE task, and LOCF cannot be
 salted the way top-k can (state crosses salt boundaries). The
 implementation instead RANGE-partitions the union on (key, ts, …) — a
-hot key spreads over many contiguous partitions — and repairs the
-partition boundaries with per-boundary carry state, the same two-phase
-shape as operators/ordering.py: a first partition-local pass collects
-one tiny summary row per partition (first/last key + last right row),
-the driver prefix-scans those into per-partition carry-in packs (≤
-#partitions rows collected, never data), and a second partition-local
-Arrow pass fills left rows. Both passes are narrow; the only wide op is
-the single range shuffle.
+hot key spreads over many contiguous partitions — then runs the LOCF as
+a window over the PHYSICAL partition id (bounded by partition size,
+never key size) and repairs partition boundaries with driver-carried
+state, the same two-phase shape as operators/ordering.py: two tiny
+JVM aggregates summarize each partition (first/last key + its last
+right row), the driver prefix-scans those into per-partition carry-in
+packs (≤ #partitions rows collected, never data), and a broadcast join
+feeds them back. Everything stays in whole-stage codegen — no Arrow
+crossing anywhere.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -143,9 +140,6 @@ def bucketed_range_join(
     )
 
 
-_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -156,6 +150,7 @@ def asof_join(
     right_order: str | None = None,
     suffix: str = "_asof",
     cache: list | None = None,
+    strategy: str = "two_phase",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``value_cols`` from the
     latest ``right`` row of the same ``on`` key with
@@ -164,50 +159,50 @@ def asof_join(
     make the pick total; defaults to the first value column. All carried
     values come from that ONE winning right row (a null in one of its
     value columns stays null — it is never backfilled from an older
-    row).
+    row): the carry is a single packed struct under either strategy.
 
-    Two-phase scale-safe shape (module docstring): range-partition the
-    tagged union on (key, ts, side, ord), summarize each partition
-    (one tiny row), prefix-scan carry-in state on the driver, then fill
-    left rows in a partition-local Arrow pass. No per-key window exists
-    in the physical plan, so a hot key costs nothing beyond its share of
-    the range shuffle. Runs one small summary action at call time; the
-    sorted union is persisted (pass a list as ``cache`` to own
-    unpersisting it, as with operators/ordering.py).
+    ``strategy="two_phase"`` (default, the scale-safe shape — module
+    docstring), ALL JVM:
 
-    Integer columns (left AND value) travel through the Arrow passes as
-    STRINGS: every column of the tagged union contains nulls for the
-    other side's rows, and Arrow→pandas coerces nullable int64 to
-    float64 — which silently rounds values past 2⁵³ (e.g. this repo's
-    own 60-bit md5-derived ids). Decimal-string round-tripping is
-    exact at any width; the final select casts back to the declared
-    types. Known limitation: a genuine NaN in a DOUBLE value column is
-    indistinguishable from NULL after the pandas crossing and comes
-    back as NULL."""
+    1. range-partition the tagged union on (key, ts, side, ord) and
+       stamp ``__pid`` — a key now spans contiguous partitions, so no
+       single task ever owns a whole hot key;
+    2. ONE single-scan aggregate summarizes each partition (first key +
+       globally latest right row, struct-packed via ``max_by``),
+       collected (≤ #partitions rows) and prefix-scanned on the driver
+       into per-partition carry-in packs;
+    3. the fill is a window partitioned by ``__pid`` — bounded by
+       PARTITION size, never key size — plus a broadcast join against
+       the tiny carry table for rows before their partition's first
+       in-partition right row.
+
+    ``strategy="keyed_window"``: the classic union + one shuffle +
+    ``Window.partitionBy(key)`` LOCF. ~3-4× cheaper in fixed cost (one
+    shuffle+sort, no summary action — measured in
+    scripts/bench_asof_skew.py), but a single hot key serializes
+    through ONE window task: the right choice only when per-key
+    cardinality is known-bounded (e.g. keys are calendar dates).
+
+    Everything stays in whole-stage codegen either way: no Arrow
+    crossing, so 64-bit integers and NULL-vs-NaN survive exactly.
+    ``two_phase`` runs one small summary action at call time and
+    persists the partitioned union (pass a list as ``cache`` to own
+    unpersisting it, as with operators/ordering.py)."""
     if right_order is None:
         right_order = value_cols[0]
+    spark = left.sparkSession
     left_cols = left.columns
     out_vals = [f"{c}{suffix}" for c in value_cols]
-    int_vals = {
-        o for c, o in zip(value_cols, out_vals)
-        if isinstance(right.schema[c].dataType, _INT_TYPES)
-    }
-    int_lefts = {
-        c for c in left_cols
-        if c != on and isinstance(left.schema[c].dataType, _INT_TYPES)
-    }
-
-    def _t(col, name, ints):
-        return col.cast("string") if name in ints else col
+    if strategy not in ("two_phase", "keyed_window"):
+        raise ValueError(f"unknown asof strategy {strategy!r}")
 
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_order).alias("__ord"),
-        *[_t(F.col(c), o, int_vals).alias(o)
-          for c, o in zip(value_cols, out_vals)],
-        *[_t(F.lit(None).cast(left.schema[c].dataType), c, int_lefts).alias(c)
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c != on],
     )
     l = left.select(
@@ -215,169 +210,135 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(right.schema[right_order].dataType).alias("__ord"),
-        *[_t(F.lit(None).cast(right.schema[c].dataType), o, int_vals).alias(o)
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
           for c, o in zip(value_cols, out_vals)],
-        *[_t(F.col(c), c, int_lefts).alias(c)
-          for c in left_cols if c != on],
+        *[F.col(c) for c in left_cols if c != on],
     )
     un = r.unionByName(l)
-    sorted_un = (
-        un.repartitionByRange(on, "__ts", "__side", "__ord")
-        .sortWithinPartitions(on, "__ts", "__side", "__ord")
+
+    if strategy == "keyed_window":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(
+                F.col("__ts").asc(), F.col("__side").asc(),
+                F.col("__ord").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rpack = F.when(
+            F.col("__side") == 0,
+            F.struct(*[F.col(o).alias(o) for o in out_vals]),
+        )
+        carried = un.withColumn(
+            "__cp", F.last(rpack, ignorenulls=True).over(w)
+        )
+        return carried.filter(F.col("__side") == 1).select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"__cp.{o}").alias(o) for o in out_vals],
+        )
+
+    # EXPLICIT partition count: a bare repartitionByRange is subject to
+    # AQE coalescing, and the coalesced layout can DIFFER between the
+    # summary execution and the fill execution (measured: the summary
+    # jobs once saw a 2-partition layout while the cached fill saw 8 —
+    # carry state computed for one layout applied to another returns
+    # wrong rows). An explicit count is exempt from coalescing and the
+    # range sampler is deterministic, so __pid is the same in every
+    # execution — even if cache blocks are evicted and recomputed.
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parted = (
+        un.repartitionByRange(n_parts, on, "__ts", "__side", "__ord")
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     if cache is not None:
-        cache.append(sorted_un)
+        cache.append(parted)
 
     key_t = un.schema[on].dataType
-    val_fields = [
-        T.StructField(
-            o,
-            T.StringType() if o in int_vals else right.schema[c].dataType,
-        )
-        for c, o in zip(value_cols, out_vals)
-    ]
-
-    def _clean(v):
-        """pandas null (None/NaN/NaT) → None."""
-        if v is None or v != v:
-            return None
-        return v
-
-    summ_schema = T.StructType(
-        [
-            T.StructField("__pid", T.LongType()),
-            T.StructField("first_key", key_t),
-            T.StructField("last_key", key_t),
-            T.StructField("has_pack", T.BooleanType()),
-        ]
-        + val_fields
+    # phase A: boundary summaries as ONE single-scan aggregation (a
+    # two-agg self-join here resolved ambiguously and silently mixed
+    # rows across partitions — observed as wrong carry state; and a
+    # single scan also materializes the cold cache race-free, the same
+    # safe first-action shape as operators/ordering.py). Per partition:
+    # the first key, plus the globally LATEST right row (by key, ts,
+    # ord — left rows rank below every right row via the is-right flag,
+    # so the max_by value is null exactly when the partition has no
+    # right rows) tagged with its key.
+    summ = parted.groupBy("__pid").agg(
+        F.min(on).alias("__first_key"),
+        F.max_by(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(
+                    F.col(on).alias("__k"),
+                    *[F.col(o) for o in out_vals],
+                ),
+            ),
+            F.struct(
+                (F.col("__side") == 0).cast("int").alias("__r"),
+                F.col(on).alias("__ko"),
+                F.col("__ts"),
+                F.col("__ord"),
+            ),
+        ).alias("__pack"),
     )
+    summaries = sorted(summ.collect(), key=lambda s: s["__pid"])
 
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Per partition: first/last key in sort order, plus the last
-        # right row FOR the last key (the carry-out candidate).
-        pid = first_key = None
-        cur_key, cur_pack = None, None
-        for b in batches:
-            if len(b) == 0:
-                continue
-            if pid is None:
-                pid = int(b["__pid"].iloc[0])
-                first_key = b[on].iloc[0]
-            new_key = b[on].iloc[-1]
-            rk = b[(b["__side"] == 0) & (b[on] == new_key)]
-            if len(rk):
-                cur_pack = tuple(
-                    _clean(rk[o].iloc[-1]) for o in out_vals
-                )
-            elif not (cur_key is not None and new_key == cur_key):
-                cur_pack = None  # key changed with no right rows for it
-            cur_key = new_key
-        if pid is None:
-            return
-        row = {"__pid": pid, "first_key": first_key, "last_key": cur_key,
-               "has_pack": cur_pack is not None}
-        for i, o in enumerate(out_vals):
-            row[o] = cur_pack[i] if cur_pack is not None else None
-        yield pd.DataFrame([row])
-
-    summaries = sorted(
-        sorted_un.mapInPandas(summarize, schema=summ_schema).collect(),
-        key=lambda s: s["__pid"],
-    )
-    # Driver prefix-scan (≤ #partitions rows): carry-in pack for each
-    # partition = the latest right row of its FIRST key from any earlier
-    # partition. Keys are range-contiguous, so only the boundary-
-    # straddling key can carry, and state threads through partitions
-    # that contain the key without right rows.
-    carry: dict[int, tuple] = {}
+    # driver prefix-scan (≤ #partitions rows): thread (state_key,
+    # state_pack) = the globally latest right row seen so far. Keys are
+    # range-contiguous, so partition p's carry-in is that state exactly
+    # when state_key == first_key(p): a later right row of p's first
+    # key before p would itself be the global latest (contradiction),
+    # and state_key > first_key(p) is impossible by contiguity.
+    carry_rows: list[tuple] = []
     state_key, state_pack = None, None
     for s in summaries:
-        if (
-            state_pack is not None
-            and state_key is not None
-            and s["first_key"] == state_key
-        ):
-            carry[s["__pid"]] = state_pack
-        if s["has_pack"]:
-            state_key = s["last_key"]
-            state_pack = tuple(s[o] for o in out_vals)
-        elif not (state_key is not None and s["last_key"] == state_key):
-            state_key, state_pack = s["last_key"], None
-
-    left_fields = [
-        T.StructField(
-            f.name,
-            T.StringType() if f.name in int_lefts else f.dataType,
-            f.nullable,
-        )
-        for f in left.schema.fields
-    ]
-    out_schema = T.StructType(left_fields + val_fields)
-
-    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state_key, state_pack, inited = None, None, False
-        for b in batches:
-            n = len(b)
-            if n == 0:
-                continue
-            if not inited:
-                pack = carry.get(int(b["__pid"].iloc[0]))
-                if pack is not None:
-                    state_key, state_pack = b[on].iloc[0], pack
-                inited = True
-            keys = b[on].to_numpy()
-            is_right = (b["__side"] == 0).to_numpy()
-            # src[i] = row index of the latest right row at/before i with
-            # the same key (vectorized per-key LOCF of row indices)
-            idx = np.where(is_right, np.arange(n, dtype=float), np.nan)
-            src = pd.Series(idx).groupby(keys).ffill().to_numpy()
-            no_src = np.isnan(src)
-            carry_mask = (
-                no_src & (keys == state_key)
-                if state_pack is not None
-                else np.zeros(n, dtype=bool)
-            )
-            valid = ~no_src
-            vi = src[valid].astype(np.int64)
-
-            lmask = ~is_right
-            out = b.loc[lmask, left_cols].copy()
-            for i, o in enumerate(out_vals):
-                colarr = b[o].to_numpy(dtype=object)
-                filled = np.full(n, None, dtype=object)
-                filled[valid] = colarr[vi]
-                if state_pack is not None:
-                    filled[carry_mask] = state_pack[i]
-                out[o] = [_clean(v) for v in filled[lmask]]
-            yield out
-
-            new_key = keys[-1]
-            rmask = is_right & (keys == new_key)
-            if rmask.any():
-                j = int(np.where(rmask)[0][-1])
-                state_key = new_key
-                state_pack = tuple(
-                    _clean(b[o].iloc[j]) for o in out_vals
-                )
-            elif not (state_key is not None and new_key == state_key):
-                state_key, state_pack = new_key, None
-
-    filled_df = sorted_un.mapInPandas(fill, schema=out_schema)
-    # cast the string-transported integer columns back to their real types
-    return filled_df.select(
-        *[
-            F.col(c).cast(left.schema[c].dataType).alias(c)
-            if c in int_lefts
-            else F.col(c)
-            for c in left_cols
-        ],
-        *[
-            F.col(o).cast(right.schema[c].dataType).alias(o)
-            if o in int_vals
-            else F.col(o)
+        if state_pack is not None and s["__first_key"] == state_key:
+            carry_rows.append((s["__pid"], state_key) + state_pack)
+        if s["__pack"] is not None:
+            state_key = s["__pack"]["__k"]
+            state_pack = tuple(s["__pack"])[1:]
+    carry_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType()), T.StructField("__ck", key_t)]
+        + [
+            T.StructField(f"__cv_{o}", right.schema[c].dataType)
             for c, o in zip(value_cols, out_vals)
+        ]
+    )
+    carry_df = spark.createDataFrame(carry_rows, schema=carry_schema)
+
+    # phase B: partition-local LOCF — window over __pid (bounded by
+    # partition size), carrying the last right row as ONE struct whose
+    # key tags its validity; rows before their partition's first right
+    # row of the same key fall through to the broadcast carry-in.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(
+            F.col(on).asc(), F.col("__ts").asc(),
+            F.col("__side").asc(), F.col("__ord").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rpack = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(on).alias("__k"), *[F.col(o).alias(o) for o in out_vals]
+        ),
+    )
+    carried = parted.withColumn("__cp", F.last(rpack, ignorenulls=True).over(w))
+    filled = carried.filter(F.col("__side") == 1).join(
+        F.broadcast(carry_df), "__pid", "left"
+    )
+    same = F.col("__cp").isNotNull() & (F.col("__cp.__k") == F.col(on))
+    use_carry = F.col("__ck").isNotNull() & (F.col("__ck") == F.col(on))
+    return filled.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(same, F.col(f"__cp.{o}"))
+            .when(use_carry, F.col(f"__cv_{o}"))
+            .alias(o)
+            for o in out_vals
         ],
     )

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Hot-key evidence for the two-phase AS-OF join (VERDICT r3 perf-weak
+item 2): a probe/snapshot corpus with 90% of BOTH sides on one key, run
+through (a) ``strategy="keyed_window"`` — one shuffle + per-key window,
+where the hot key's whole union serializes through ONE window task —
+and (b) the default two-phase range-partition + boundary-carry shape.
+Equality of outputs is asserted, then both are timed (best of 2). At
+THIS corpus size the keyed window's single shuffle wins on constant
+factor; the two-phase's value is that its cost is bounded by partition
+size, not key size — the keyed window's hot task grows without bound.
+Prints one JSON line.
+
+Env: SPARK_GRAFT_CPUS (default 32), ASOF_LEFT (default 2_000_000),
+ASOF_RIGHT (default 200_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_left = int(os.environ.get("ASOF_LEFT", "2000000"))
+    n_right = int(os.environ.get("ASOF_RIGHT", "200000"))
+    hot_pct = 90
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators.temporal import asof_join
+    from basic_common_crawl_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-asof-skew", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def keyed(df):
+        return df.withColumn(
+            "host",
+            F.when(
+                F.pmod(F.col("id"), F.lit(100)) < hot_pct, F.lit("mega.test")
+            ).otherwise(
+                F.format_string("src%d.test", F.pmod(F.col("id"), F.lit(37)))
+            ),
+        )
+
+    left = keyed(spark.range(n_left)).select(
+        "host",
+        (F.col("id") * 7 % 1_000_000).alias("ts"),
+        F.col("id").alias("lid"),
+    ).localCheckpoint(eager=True)
+    right = keyed(spark.range(n_right)).select(
+        "host",
+        (F.col("id") * 13 % 1_000_000).alias("ts"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 1000).cast("double").alias("delay"),
+    ).localCheckpoint(eager=True)
+    left.count(), right.count()
+
+    def window_variant():
+        return asof_join(
+            left, right, on="host", value_cols=("delay", "rid"),
+            right_order="rid", strategy="keyed_window",
+        )
+
+    def two_phase():
+        return asof_join(
+            left, right, on="host", value_cols=("delay", "rid"),
+            right_order="rid",
+        )
+
+    # correctness first: identical outputs on this corpus
+    a = window_variant().groupBy().agg(
+        F.count("*"), F.sum("rid_asof"), F.sum("delay_asof")
+    ).collect()[0]
+    b = two_phase().groupBy().agg(
+        F.count("*"), F.sum("rid_asof"), F.sum("delay_asof")
+    ).collect()[0]
+    assert tuple(a) == tuple(b), (tuple(a), tuple(b))
+
+    result: dict = {
+        "left_rows": n_left, "right_rows": n_right,
+        "hot_share": hot_pct / 100, "cpus": cpus,
+    }
+    for label, fn in (("window_sec", window_variant), ("two_phase_sec", two_phase)):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn().groupBy().agg(F.count("*")).collect()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        result[label] = round(best, 3)
+    result["two_phase_speedup"] = round(
+        result["window_sec"] / result["two_phase_sec"], 3
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -492,21 +492,22 @@ def test_asof_join_semantics(spark):
         ],
         "host string, ts long, tag string",
     )
-    out = {
-        r["tag"]: (r["delay_asof"], r["rid_asof"])
-        for r in asof_join(
-            left, right, on="host", value_cols=("delay", "rid"),
-            right_order="rid",
-        ).collect()
-    }
-    assert out == {
-        "a": (None, None),
-        "b": (100.0, 1),
-        "c": (250.0, 3),
-        "d": (250.0, 3),
-        "e": (None, None),
-        "f": (900.0, 4),
-    }
+    for strategy in ("two_phase", "keyed_window"):
+        out = {
+            r["tag"]: (r["delay_asof"], r["rid_asof"])
+            for r in asof_join(
+                left, right, on="host", value_cols=("delay", "rid"),
+                right_order="rid", strategy=strategy,
+            ).collect()
+        }
+        assert out == {
+            "a": (None, None),
+            "b": (100.0, 1),
+            "c": (250.0, 3),
+            "d": (250.0, 3),
+            "e": (None, None),
+            "f": (900.0, 4),
+        }, strategy
 
 
 def test_asof_join_carries_whole_rows_not_columns(spark):
@@ -522,11 +523,12 @@ def test_asof_join_carries_whole_rows_not_columns(spark):
     left = spark.createDataFrame(
         [("h1", 25, "a")], "host string, ts long, tag string"
     )
-    row = asof_join(
-        left, right, on="host", value_cols=("delay", "rid"),
-        right_order="rid",
-    ).collect()[0]
-    assert (row["delay_asof"], row["rid_asof"]) == (None, 2)
+    for strategy in ("two_phase", "keyed_window"):
+        row = asof_join(
+            left, right, on="host", value_cols=("delay", "rid"),
+            right_order="rid", strategy=strategy,
+        ).collect()[0]
+        assert (row["delay_asof"], row["rid_asof"]) == (None, 2), strategy
 
 
 def test_asof_join_exact_for_60bit_ids(spark):
@@ -555,8 +557,9 @@ def test_asof_join_exact_for_60bit_ids(spark):
 
 
 def test_asof_join_scale_shape_and_determinism(spark):
-    """Scale contract of the two-phase as-of join: (a) no per-key Window
-    in the physical plan (a hot key never serializes through one task);
+    """Scale contract of the two-phase as-of join: (a) the only Window
+    in the physical plan partitions by the PHYSICAL partition id — never
+    by the join key (a hot key never serializes through one task);
     (b) output identical across shuffle-partition counts on a corpus
     with one pathologically hot key, equal to an in-test per-key LOCF
     reference."""
@@ -599,8 +602,12 @@ def test_asof_join_scale_shape_and_determinism(spark):
                 left, right, on="host", value_cols=("rid", "v"),
                 right_order="rid",
             )
+            import re as _re
+
             plan = df._jdf.queryExecution().executedPlan().toString()
-            assert "Window" not in plan, plan
+            # every window spec must be over __pid, none over the key
+            assert not _re.search(r"windowspecdefinition\(host#", plan), plan
+            assert _re.search(r"windowspecdefinition\(__pid#", plan), plan
             outs.append(
                 sorted(
                     (r["lid"], r["rid_asof"], r["v_asof"])
