@@ -391,6 +391,64 @@ def ivf_topk(
     return cosine_topk(probed, qvec, k, id_col, vec_col)
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embeddings table physically partitioned by
+    ``list_id`` (IVF coarse assignment) — the inverted-list layout at
+    rest. ``ivf_topk_partitioned``'s nprobe probe then opens only the
+    probed lists' partitions (nprobe/n_lists of the table) instead of
+    evaluating an assignment filter over every row: the 10^10-vector
+    shape, exactly parallel to ``write_sig_partitioned`` for LSH.
+    Train centroids first (``train_ivf_centroids``) when list balance
+    matters; the layout machinery is centroid-agnostic."""
+    if centroids is None:
+        centroids = ivf_centroids()
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_id,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a ``write_ivf_partitioned`` layout: the probe-list
+    membership test sits on the PARTITION column (``list_id IN (...)``),
+    so the scan prunes whole partitions before the exact cosine rank —
+    identical results to ``ivf_topk`` (same centroids, same nprobe),
+    different physical plan (PartitionFilters, pinned in
+    tests/test_plans.py)."""
+    if centroids is None:
+        centroids = ivf_centroids()
+    table = spark.read.parquet(path)
+    qrows = table.filter(F.col(id_col) == query_id).select(vec_col).take(1)
+    if not qrows:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec = [float(x) for x in qrows[0][0]]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    cscores = []
+    for kidx, c in enumerate(centroids):
+        dot = sum(a * b for a, b in zip(qvec, c))
+        cnorm = sum(x * x for x in c) ** 0.5
+        cscores.append((_py_round4(dot / (qnorm * cnorm)), kidx))
+    probes = [
+        kidx
+        for _, kidx in sorted(cscores, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+    probed = table.filter(F.col("list_id").isin(probes)).drop("list_id")
+    return cosine_topk(probed, qvec, k, id_col, vec_col)
+
+
 # ---------------------------------------------------------------------------
 # signature-prefix physical layout: the probe as PARTITION PRUNING
 # ---------------------------------------------------------------------------

@@ -1682,6 +1682,24 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+@register("ann_cosine_topk_ivf_partitioned", ORACLES["ann_cosine_topk_ivf"])
+def ann_cosine_topk_ivf_partitioned(spark, sf_dir):
+    """The same IVF probe over the inverted-list PHYSICAL layout
+    (write_ivf_partitioned): ``list_id`` is the partition column, so the
+    nprobe membership test prunes whole partitions — the IVF twin of
+    ann_cosine_topk_partitioned, sharing its oracle with the row-filter
+    IVF query (identical results, different physical plan; pruning
+    pinned in tests/test_plans.py)."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="emb_ivf_layout_")
+    similarity.write_ivf_partitioned(emb, path, centroids=_IVF_CENTROIDS)
+    return similarity.ivf_topk_partitioned(
+        spark, path, query_id=2, k=10, nprobe=4, centroids=_IVF_CENTROIDS
+    )
+
+
 # ===========================================================================
 # F2. link-graph analytics (iterative): fixed-point PageRank
 # ===========================================================================

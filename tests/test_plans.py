@@ -357,3 +357,49 @@ def test_hypertable_rollup_scans_raw_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") == 3, plan
+
+
+def test_ann_ivf_layout_partition_pruning(spark, tmp_path):
+    """The inverted-list layout turns the IVF nprobe probe into
+    PARTITION pruning: the list_id IN (...) predicate sits on the
+    partition column, only probed-list partitions are opened, and the
+    result equals the row-filter ivf_topk over the raw table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators import similarity
+    from basic_common_crawl_pipeline_spark.plans.catalog import _IVF_CENTROIDS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_layout")
+    similarity.write_ivf_partitioned(emb, path, centroids=_IVF_CENTROIDS)
+
+    out = similarity.ivf_topk_partitioned(
+        spark, path, query_id=2, k=10, nprobe=4, centroids=_IVF_CENTROIDS
+    )
+    table = spark.read.parquet(path)
+    probed = table.filter(F.col("list_id").isin(0, 1, 2, 3))
+    plan = _plan(probed)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf, plan
+    # behavioral pruning: the files actually opened are the probed lists
+    opened = {
+        int(re.search(r"list_id=(\d+)", r[0]).group(1))
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    all_parts = {
+        int(re.search(r"list_id=(\d+)", r[0]).group(1))
+        for r in table.select(F.input_file_name()).distinct().collect()
+    }
+    assert opened <= {0, 1, 2, 3}
+    assert len(all_parts) > 4  # layout genuinely has many lists
+    # end-to-end equality with the row-filter probe
+    got = [(r["vec_id"], r["cos"]) for r in out.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ivf_topk(
+            emb, query_id=2, k=10, nprobe=4, centroids=_IVF_CENTROIDS
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
