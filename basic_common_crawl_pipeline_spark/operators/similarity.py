@@ -352,6 +352,27 @@ def _py_round4(x: float) -> float:
     return math.floor(x * 10000 + 0.5) / 10000
 
 
+def _select_probe_lists(
+    qvec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe inverted lists closest to the query by round4(cosine),
+    ties to the smallest centroid id — driver-side arithmetic on
+    n_lists×dim floats (metadata, not data). ONE definition shared by
+    the row-filter and partition-pruned IVF probes: the partitioned
+    catalog query reuses the row-filter query's oracle on the premise
+    that both select identical lists."""
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    cscores = []
+    for kidx, c in enumerate(centroids):
+        dot = sum(a * b for a, b in zip(qvec, c))
+        cnorm = sum(x * x for x in c) ** 0.5
+        cscores.append((_py_round4(dot / (qnorm * cnorm)), kidx))
+    return [
+        kidx
+        for _, kidx in sorted(cscores, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+
+
 def ivf_topk(
     df: DataFrame,
     query_id,
@@ -374,18 +395,7 @@ def ivf_topk(
     if not qrows:
         raise ValueError(f"query_id {query_id!r} not found in {id_col}")
     qvec = [float(x) for x in qrows[0][0]]
-    qnorm = sum(x * x for x in qvec) ** 0.5
-    cscores = []
-    for kidx, c in enumerate(centroids):
-        dot = 0.0
-        for a, b in zip(qvec, c):
-            dot += a * b
-        cnorm = sum(x * x for x in c) ** 0.5
-        cscores.append((_py_round4(dot / (qnorm * cnorm)), kidx))
-    probes = [
-        kidx
-        for _, kidx in sorted(cscores, key=lambda t: (-t[0], t[1]))[:nprobe]
-    ]
+    probes = _select_probe_lists(qvec, centroids, nprobe)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     probed = assigned.filter(F.col("list_id").isin(probes)).drop("list_id")
     return cosine_topk(probed, qvec, k, id_col, vec_col)
@@ -435,16 +445,7 @@ def ivf_topk_partitioned(
     if not qrows:
         raise ValueError(f"query_id {query_id!r} not found in {id_col}")
     qvec = [float(x) for x in qrows[0][0]]
-    qnorm = sum(x * x for x in qvec) ** 0.5
-    cscores = []
-    for kidx, c in enumerate(centroids):
-        dot = sum(a * b for a, b in zip(qvec, c))
-        cnorm = sum(x * x for x in c) ** 0.5
-        cscores.append((_py_round4(dot / (qnorm * cnorm)), kidx))
-    probes = [
-        kidx
-        for _, kidx in sorted(cscores, key=lambda t: (-t[0], t[1]))[:nprobe]
-    ]
+    probes = _select_probe_lists(qvec, centroids, nprobe)
     probed = table.filter(F.col("list_id").isin(probes)).drop("list_id")
     return cosine_topk(probed, qvec, k, id_col, vec_col)
 

@@ -177,11 +177,14 @@ def asof_join(
        in-partition right row.
 
     ``strategy="keyed_window"``: the classic union + one shuffle +
-    ``Window.partitionBy(key)`` LOCF. ~3-4× cheaper in fixed cost (one
-    shuffle+sort, no summary action — measured in
-    scripts/bench_asof_skew.py), but a single hot key serializes
-    through ONE window task: the right choice only when per-key
-    cardinality is known-bounded (e.g. keys are calendar dates).
+    ``Window.partitionBy(key)`` LOCF — a structurally simpler plan (no
+    summary action, one shuffle), but a single hot key serializes
+    through ONE window task. Measured (scripts/bench_asof_skew.py,
+    90%-one-key corpus, local[32]): the two-phase default is already
+    1.5× faster at 2.2M union rows and 2.5× at 4.4M — the keyed
+    window's wall time tracks the hot KEY's size while the two-phase
+    tracks rows/partitions. Prefer keyed_window only for known
+    low-skew, bounded-cardinality keys (e.g. calendar dates).
 
     Everything stays in whole-stage codegen either way: no Arrow
     crossing, so 64-bit integers and NULL-vs-NaN survive exactly.

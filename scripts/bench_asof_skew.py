@@ -94,7 +94,12 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.time()
-            fn().groupBy().agg(F.count("*")).collect()
+            # aggregate the CARRIED columns — a bare count(*) lets
+            # Catalyst prune the whole Window/LOCF from the plan
+            # (verified), timing a no-op
+            fn().groupBy().agg(
+                F.sum("rid_asof"), F.sum("delay_asof")
+            ).collect()
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
         result[label] = round(best, 3)

@@ -195,13 +195,13 @@ hardware ceiling probe (pure-Python extraction, docs/sec):
   salted == unsalted is pinned by the politeness tests.
 - **hot-key AS-OF join (scripts/bench_asof_skew.py)**: {asof["left_rows"]}
   probes × {asof["right_rows"]} snapshots, {int(asof["hot_share"] * 100)}% of
-  both sides on ONE key, local[{asof["cpus"]}]: keyed-window strategy
-  {asof["window_sec"]} s vs two-phase {asof["two_phase_sec"]} s (outputs
-  asserted equal). At this size the keyed window's single shuffle wins on
-  constant factor; the two-phase default's cost is bounded by PARTITION
-  size, not key size — the keyed window's hot task grows without bound
-  (the 10^8-rows-per-key case never finishes). Both shapes are exposed
-  via `asof_join(strategy=...)`.
+  both sides on ONE key, local[{asof["cpus"]}], outputs asserted equal,
+  carried columns aggregated in the timed section: keyed-window strategy
+  {asof["window_sec"]} s vs two-phase {asof["two_phase_sec"]} s
+  (**{asof["two_phase_speedup"]}× faster two-phase**) — the keyed
+  window's wall time tracks the hot KEY's size (one serial window task)
+  while the two-phase default tracks rows/partitions, so the gap widens
+  without bound. Both shapes are exposed via `asof_join(strategy=...)`.
 - per-query wall times (local[32]): `{json.dumps(results[32]["queries"])}`
 - **3-small-waves row = the latency-floor probe, by design.** Its
   fixed cost was decomposed this round (UI-REST job timeline +

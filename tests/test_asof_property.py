@@ -86,6 +86,7 @@ def test_asof_strategies_agree_with_reference(spark, lrows, rrows):
     want = _reference(lrows, rrows)
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    caches: list = []
     try:
         for n_parts in ("3", "11"):
             spark.conf.set("spark.sql.shuffle.partitions", n_parts)
@@ -95,9 +96,11 @@ def test_asof_strategies_agree_with_reference(spark, lrows, rrows):
                     for r in asof_join(
                         left, right, on="host",
                         value_cols=("rid", "value"), right_order="rid",
-                        strategy=strategy,
+                        strategy=strategy, cache=caches,
                     ).collect()
                 }
                 assert got == want, (strategy, n_parts, got, want)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        for df in caches:  # retire the per-call persisted unions
+            df.unpersist()
