@@ -2589,6 +2589,8 @@ _RUN_LAST = [
     "b2_limit",
     "u1_set_ops",
     "f1_language_substring",
+    "p2_parse_cdx_spacejoin",  # bug-compat variant; canonical p2 stays mid
+    "dedup_ngram_jaccard",     # brute-force baseline; scale paths stay mid
 ]
 
 
