@@ -192,6 +192,135 @@ def label_propagation_fixpoint(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+    checkpoint_every: int = 3,
+    info: dict | None = None,
+    cache: list | None = None,
+) -> DataFrame:
+    """(node, label) connected components via alternating large-star /
+    small-star contraction — the O(log n)-round production path for
+    graphs whose diameter is NOT clique-like (min-label propagation
+    needs diameter-many rounds: a 10^6-long link chain is 10^6 rounds
+    there and ~20 here). Each round:
+
+    - large-star: every node points its strictly-LARGER neighbors at
+      ``m(u) = min(N(u) ∪ {u})``;
+    - small-star: orient each edge (max, min); every node points its
+      smaller-or-equal neighbors (and itself) at the minimum.
+
+    Both are implemented as groupBy-min + JOIN (never a per-node
+    neighbor list collect — a star root's neighborhood IS the whole
+    component, so collect_list would re-create the hot-key problem this
+    operator family avoids). The edge set is a monotone contraction;
+    at the fixed point it is exactly the set of (node, component-min)
+    star edges. Convergence is detected by (count, Σ xxhash64) edge-set
+    checksum — one tiny aggregate per round on the shrinking edge set
+    (64-bit-collision-probability, i.e. negligibly short of exact);
+    lineage truncates every ``checkpoint_every`` rounds from the hot
+    cache. Labels agree exactly with ``label_propagation_fixpoint``
+    (property-tested); ``nodes`` adds isolated vertices. Pass
+    ``info={}`` for ``info['rounds']``; final round's cache retires via
+    the ``cache`` list (else session LRU), like ordering.py."""
+    endpoints = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+    )
+    if nodes is None:
+        all_nodes = endpoints.distinct()
+    else:
+        all_nodes = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .unionByName(endpoints)
+            .distinct()
+        )
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        und = ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", F.col("u")).alias("m"))
+        )
+        return (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        oriented = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        pointed = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return pointed
+
+    def checksum(ed: DataFrame):
+        row = ed.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig, prev_cache = None, None
+    converged = False
+    try:
+        for rounds in range(1, max_iterations + 1):
+            e_new = small_star(large_star(e)).persist()
+            sig = checksum(e_new)  # fills the cache: ONE action per round
+            e = e_new
+            if checkpoint_every and rounds % checkpoint_every == 0:
+                e = e.localCheckpoint(eager=False)
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = e_new
+            if sig == prev_sig:
+                converged = True
+                if info is not None:
+                    info["rounds"] = rounds
+                break
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_iterations} "
+                "rounds; raise max_iterations"
+            )
+        if cache is not None and prev_cache is not None:
+            cache.append(prev_cache)
+        # fixed point = (child, root) star edges; roots and isolated
+        # nodes label themselves
+        labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        return (
+            all_nodes.join(labels, "node", "left")
+            .select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+        )
+    finally:
+        if not converged and prev_cache is not None:
+            prev_cache.unpersist()
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,

@@ -907,3 +907,49 @@ def test_trained_ivf_centroids_beat_fixed(spark):
     mean_trained = statistics.mean(recall["trained"])
     assert mean_trained >= mean_fixed, (mean_trained, mean_fixed)
     assert mean_trained >= 0.5
+
+
+def test_connected_components_star_log_rounds(spark):
+    """Large-star/small-star CC: a 64-node chain (diameter 63, where
+    min-label propagation provably needs ~64 rounds) converges in
+    O(log n) rounds with the correct single component; random graphs
+    agree exactly with label_propagation_fixpoint; isolated nodes from
+    the nodes frame label themselves."""
+    import random
+
+    from basic_common_crawl_pipeline_spark.operators.graph import (
+        connected_components_star,
+        label_propagation_fixpoint,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    info: dict = {}
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(chain, info=info).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    assert info["rounds"] <= 12, info  # log-round, not diameter-round
+
+    rng = random.Random(13)
+    edges = list(
+        {
+            (rng.randrange(0, 60), rng.randrange(0, 60))
+            for _ in range(70)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(70)], "doc_id long")
+    star = sorted(
+        (r["node"], r["label"])
+        for r in connected_components_star(df, nodes=nodes).collect()
+    )
+    fp = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation_fixpoint(df, nodes=nodes).collect()
+    )
+    assert star == fp
+    assert (69, 69) in star or any(n == 69 for n, _ in star)
