@@ -1,0 +1,189 @@
+"""Training-corpus preparation operators (north-rule additions; the
+reference stops at extraction — /root/reference/Readme.md:24 names dedup
+and downstream curation as explicitly out of scope). These are the three
+curation steps every large-scale LLM-data pipeline runs between "clean
+text" and "tokenized batches":
+
+- ``decontaminate``: flag corpus documents that share word n-grams with
+  an evaluation/benchmark set (the GPT-3 / Pile / Dolma 13-gram-overlap
+  discipline, parameterized n). The benchmark side is DISTINCT n-gram
+  hashes — small even for large eval suites (~10^6-10^7 grams) — so the
+  membership test is a broadcast join against the exploded corpus grams:
+  the 100-TB corpus never shuffles its text, only (doc_id, gram_hash)
+  pairs flow, and the per-doc match count aggregates on doc_id (unique,
+  skew-free).
+- ``sample_rebalance``: per-stratum (language) rate sampling by a
+  deterministic content hash — the distribution-rebalancing step. It is
+  a PURE NARROW FILTER: no shuffle, no state, embarrassingly parallel at
+  any scale, and reproducible across runs/cluster sizes because the coin
+  is ``hash(doc_id) mod M`` rather than an RNG. (The quota/top-k-per-
+  stratum alternative shape is operators/politeness.py's salted top-k.)
+- ``pack_token_stream``: the GPT-style dataloader packing — concatenate
+  all documents into one virtual token stream in a deterministic total
+  order and cut it into fixed ``budget``-token training sequences. Each
+  document's global start offset is an exact prefix sum, computed with
+  the same two-phase scheme as operators/ordering.py: one range shuffle,
+  per-partition token sums collected (≤ #partitions longs, never data),
+  driver prefix scan, then a partition-local window adds the in-partition
+  running sum. No single-partition window, no Arrow crossing — the whole
+  plan stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import word_ngrams
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark-overlap decontamination: count, per corpus document, how
+    many of its word ``n``-gram occurrences (with multiplicity — no
+    per-doc distinct pass) appear in the benchmark's DISTINCT n-gram set,
+    and flag ``contaminated`` when ≥ ``min_matches``. Returns one row per
+    corpus doc: (id, n_grams, n_matched, contaminated).
+
+    Gram identity is md5 of the space-joined token window (exact DuckDB
+    oracle; swap to xxhash64 in production). The benchmark set is
+    broadcast — eval suites are tiny next to a training corpus — so the
+    corpus side is scan → explode → broadcast-hash-join → partial agg on
+    the unique doc id; its text never shuffles."""
+    grams = word_ngrams(text_col, n)
+    bench = (
+        benchmark.select(F.explode(grams).alias("__g"))
+        .select(F.md5("__g").alias("__gh"))
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col), F.size(grams).alias("n_grams"), grams.alias("__grams")
+    )
+    matched = (
+        base.select(id_col, F.explode("__grams").alias("__g"))
+        .select(id_col, F.md5("__g").alias("__gh"))
+        .join(F.broadcast(bench), "__gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        base.drop("__grams")
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) >= min_matches).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# The deterministic sampling coin: a 60-bit integer from the md5 of the
+# stringified id (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT — identical
+# in both engines, same construction as operators/dedup.py::_hash64_expr).
+def _coin(col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sample_rebalance(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic rate sampling: keep a row iff
+    ``hash(id) mod modulus < rate[stratum] * modulus``. Rates are exact
+    at ``1/modulus`` granularity (rate*modulus must be integral to avoid
+    float-boundary ambiguity). Returns the kept rows unchanged.
+
+    This is the language-distribution rebalancing step of a training
+    pipeline, expressed as a single codegen'd filter over the scan —
+    zero shuffles, reproducible across any cluster size, and each
+    stratum's kept set is a superset of any lower rate's (nested
+    samples: lowering a rate only removes rows)."""
+    thresholds = {s: int(round(r * modulus)) for s, r in rates.items()}
+    thr = F.lit(int(round(default_rate * modulus)))
+    for stratum, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.filter((_coin(id_col) % modulus) < thr)
+
+
+def pack_token_stream(
+    df: DataFrame,
+    order_cols: list[str],
+    token_col: str = "n_tok",
+    budget: int = 512,
+    cache: list | None = None,
+) -> DataFrame:
+    """Sequence packing: lay every document end-to-end in the total order
+    of ``order_cols`` and cut the stream into ``budget``-token training
+    sequences. Adds three columns: ``start_off`` (the doc's global token
+    offset, an exact prefix sum), ``pack_id`` (= start_off // budget, the
+    training sequence its first token lands in) and ``straddles`` (true
+    when the doc crosses a sequence boundary and will be split by the
+    loader). ``order_cols`` must be a total key; ``token_col`` must be a
+    non-negative integral column.
+
+    Two-phase exact prefix sum at 10^10-document scale (the
+    operators/ordering.py shape): EXPLICIT-count range repartition on the
+    order key (AQE-coalescing-exempt, so ``spark_partition_id()`` is
+    identical in every execution — CLAUDE.md round-4 asof lesson), one
+    tiny per-partition token-sum aggregation collected to the driver,
+    prefix scan there, then a partition-local window (bounded by
+    partition size, never by any key's frequency) plus a broadcast join
+    of the ≤ #partitions offsets finishes the job all-JVM."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    if cache is not None:
+        cache.append(parted)
+
+    stats = parted.groupBy("__pid").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__toks")
+    )
+    offsets, acc = [], 0
+    for row in sorted(stats.collect(), key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += int(row["__toks"] or 0)
+    off_df = spark.createDataFrame(offsets, "__pid int, __base long")
+
+    local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = (
+        F.col("__base")
+        + F.coalesce(F.sum(F.col(token_col).cast("long")).over(local), F.lit(0))
+    ).cast("long")
+    tok = F.col(token_col).cast("long")
+    return (
+        parted.join(F.broadcast(off_df), "__pid")
+        .withColumn("start_off", start)
+        .withColumn(
+            "pack_id", F.floor(F.col("start_off") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "straddles",
+            (tok > 0)
+            & (
+                F.floor((F.col("start_off") + tok - 1) / F.lit(budget))
+                != F.col("pack_id")
+            ),
+        )
+        .drop("__pid", "__base")
+    )

@@ -1025,6 +1025,106 @@ def text_training_filter(spark, sf_dir):
 
 
 @register(
+    "text_decontaminate",
+    f"""
+    WITH g AS (
+      SELECT doc_id, list_transform(
+               range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> md5(array_to_string(list_slice(toks, i, i + 4), ' ')))
+             AS grams
+      FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 17 = 0),
+    corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 17 <> 0),
+    m AS (
+      SELECT c.doc_id, count(*) AS n_matched
+      FROM (SELECT doc_id, unnest(grams) AS gh FROM corpus) c
+      JOIN bench USING (gh) GROUP BY c.doc_id
+    )
+    SELECT corpus.doc_id, len(grams) AS n_grams,
+           coalesce(n_matched, 0) AS n_matched,
+           coalesce(n_matched, 0) >= 1 AS contaminated
+    FROM corpus LEFT JOIN m USING (doc_id)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/training.py::decontaminate):
+    every 17th document plays the held-out eval set; the rest of the
+    corpus is scanned for word-5-gram overlap with it. The benchmark's
+    distinct gram-hash set is broadcast, so the corpus side never
+    shuffles its text — the 100-TB shape of the GPT-3/Dolma n-gram
+    decontamination pass."""
+    from ..operators.training import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, n=5, min_matches=1)
+
+
+@register(
+    "text_sample_rebalance",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000
+          < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
+                      WHEN 'fr' THEN 3500 WHEN 'es' THEN 2000
+                      ELSE 1000 END
+    """,
+)
+def text_sample_rebalance(spark, sf_dir):
+    """Language-distribution rebalancing (operators/training.py::
+    sample_rebalance): per-stratum deterministic hash-rate sampling —
+    a single codegen'd narrow filter, zero shuffles, reproducible at
+    any cluster size."""
+    from ..operators.training import sample_rebalance
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_rebalance(
+        docs.select("doc_id", "lang"),
+        rates={"en": 1.0, "de": 0.6, "fr": 0.35, "es": 0.2},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "text_sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, len({SQL_TOKS}) AS n_tok FROM documents),
+    s AS (
+      SELECT doc_id, n_tok,
+             coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_off
+      FROM t
+    )
+    SELECT doc_id, n_tok, start_off,
+           start_off // 512 AS pack_id,
+           (n_tok > 0 AND (start_off + n_tok - 1) // 512 <> start_off // 512)
+           AS straddles
+    FROM s
+    """,
+)
+def text_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing (operators/training.py::
+    pack_token_stream): documents laid end-to-end in doc_id order and
+    cut into 512-token training sequences; exact global token offsets
+    via the two-phase range-partition prefix sum — the oracle's
+    single-partition SQL window is exactly what the operator avoids at
+    scale."""
+    from ..operators.training import pack_token_stream
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ts.token_count("text").cast("long").alias("n_tok")
+    )
+    return pack_token_stream(toks, ["doc_id"], "n_tok", budget=512).select(
+        "doc_id", "n_tok", "start_off", "pack_id", "straddles"
+    )
+
+
+@register(
     "dedup_exact_apply",
     f"""
     WITH k AS (
@@ -2582,6 +2682,15 @@ _RUN_FIRST = [
     "crawl_metrics",
 ]
 _RUN_LAST = [
+    # three r2+r3-double-green entries demoted to keep the round-4
+    # additions (decontaminate / rebalance / packing) inside the
+    # driver's 50-query gate window; each demoted op's shape stays
+    # checked through a sibling: dedup_exact ⊂ dedup_exact_apply,
+    # ann_cosine_topk ⊂ its bucketed/partitioned/ivf scale variants,
+    # w1_latest_event ≡ latest_capture_dedup + warc_multicapture_latest.
+    "dedup_exact",
+    "ann_cosine_topk",
+    "w1_latest_event",
     "t1_gzip_roundtrip",
     "t3_whitespace_norm",
     "t5_json_extract",

@@ -1,0 +1,124 @@
+"""Training-corpus preparation operators (operators/training.py):
+decontamination, rate rebalancing, sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from basic_common_crawl_pipeline_spark.operators.training import (
+    decontaminate,
+    pack_token_stream,
+    sample_rebalance,
+)
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the bench 5-gram "alpha beta gamma delta epsilon"
+            (1, "zero alpha beta gamma delta epsilon end"),
+            # same tokens, different order — no 5-gram overlap
+            (2, "epsilon delta gamma beta alpha zeta more words here"),
+            # shorter than one 5-gram window
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, n=5, min_matches=1).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["n_matched"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_matched"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+
+
+def test_decontaminate_counts_multiplicity(spark):
+    bench = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], ["doc_id", "text"]
+    )
+    (row,) = decontaminate(corpus, bench, n=5).collect()
+    # the bench 5-gram "a b c d e" occurs twice in the corpus doc
+    assert row["n_matched"] == 2 and row["n_grams"] == 7
+
+
+def test_sample_rebalance_rates_and_nesting(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    full = sample_rebalance(df, {"en": 1.0, "zh": 1.0}).collect()
+    assert len(full) == 400  # rate 1.0 keeps everything
+    none = sample_rebalance(df, {"en": 1.0}, default_rate=0.0)
+    assert none.filter(F.col("lang") == "zh").count() == 0
+    half = {
+        r["doc_id"] for r in sample_rebalance(df, {"en": 0.5, "zh": 0.5}).collect()
+    }
+    quarter = {
+        r["doc_id"]
+        for r in sample_rebalance(df, {"en": 0.25, "zh": 0.25}).collect()
+    }
+    assert quarter <= half  # nested samples: lowering a rate only removes
+    assert 0 < len(quarter) < len(half) < 400
+
+
+def test_sample_rebalance_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.4, "de": 0.7}
+    a = {r["doc_id"] for r in sample_rebalance(df, rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_rebalance(df.repartition(7), rates).collect()
+    }
+    assert a == b
+
+
+def _pack_reference(rows, budget):
+    """Pure-Python packing reference: (doc_id, n_tok) sorted by doc_id."""
+    out, off = {}, 0
+    for doc_id, n_tok in sorted(rows):
+        pack = off // budget
+        straddles = n_tok > 0 and (off + n_tok - 1) // budget != pack
+        out[doc_id] = (off, pack, straddles)
+        off += n_tok
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_pack_token_stream_matches_reference(spark, n_parts):
+    rows = [(i, (i * 37) % 23) for i in range(200)]  # includes n_tok == 0
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"]).repartition(n_parts)
+    cache = []
+    got = {
+        r["doc_id"]: (r["start_off"], r["pack_id"], r["straddles"])
+        for r in pack_token_stream(
+            df, ["doc_id"], "n_tok", budget=64, cache=cache
+        ).collect()
+    }
+    for c in cache:
+        c.unpersist()
+    assert got == _pack_reference(rows, 64)
+
+
+def test_pack_token_stream_offsets_are_contiguous(spark):
+    rows = [(i, 10 + i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    cache = []
+    out = (
+        pack_token_stream(df, ["doc_id"], "n_tok", budget=128, cache=cache)
+        .orderBy("doc_id")
+        .collect()
+    )
+    for c in cache:
+        c.unpersist()
+    off = 0
+    for r in out:
+        assert r["start_off"] == off
+        off += r["n_tok"]
