@@ -156,6 +156,39 @@ def rolling_fingerprint(text: Column | str, k: int = RK_K) -> Column:
     )
 
 
+def repetition_stats(text: Column | str, n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition measures over word ``n``-grams, all
+    per-row JVM array ops (zero shuffles at any corpus size):
+    ``n_grams`` total occurrences, ``n_distinct`` distinct grams, and
+    ``top_count`` = occurrences of the most frequent gram (computed as
+    the longest equal-run of the SORTED gram array via one
+    ``F.aggregate`` fold — no explode, no per-doc groupBy). Pure
+    integers, so downstream repetition gates stay exact cross-engine."""
+    grams = word_ngrams(text, n)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return {
+        "n_grams": F.size(grams).cast("long"),
+        "n_distinct": F.size(F.array_distinct(grams)).cast("long"),
+        "top_count": F.aggregate(
+            F.array_sort(grams), init, step, lambda acc: acc["best"]
+        ),
+    }
+
+
 def doc_fingerprint(text: Column | str, n: int = 4) -> Column:
     """Winnowing-style document fingerprint: min md5 over word n-grams
     (falls back to md5 of the whole normalized text for short docs)."""

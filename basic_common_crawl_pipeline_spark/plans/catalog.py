@@ -1063,6 +1063,55 @@ def text_decontaminate(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    f"""
+    WITH g AS (
+      SELECT doc_id, list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+             AS grams
+      FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    c AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(grams) AS g FROM g) GROUP BY doc_id, g
+    ),
+    t AS (
+      SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
+             max(cnt) AS top_count
+      FROM c GROUP BY doc_id
+    )
+    SELECT g.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_distinct, 0) AS n_distinct,
+           coalesce(top_count, 0) AS top_count,
+           (coalesce(n_grams, 0) >= 10
+            AND coalesce(top_count, 0) * 10 >= coalesce(n_grams, 0))
+           AS repetitive
+    FROM g LEFT JOIN t USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gate (functions/textstats.py::
+    repetition_stats): per-doc word-2-gram totals, distinct counts and
+    the most-frequent gram's occurrence count — computed as per-row JVM
+    array folds (sort + longest-equal-run aggregate), ZERO shuffles at
+    any corpus size, while the oracle spells out the explode+groupBy
+    the operator avoids. ``repetitive`` = top 2-gram covers ≥10% of ≥10
+    gram occurrences — pure integer arithmetic, exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    st = ts.repetition_stats("text", n=2)
+    return docs.select(
+        "doc_id",
+        st["n_grams"].alias("n_grams"),
+        st["n_distinct"].alias("n_distinct"),
+        st["top_count"].alias("top_count"),
+        (
+            (st["n_grams"] >= 10) & (st["top_count"] * 10 >= st["n_grams"])
+        ).alias("repetitive"),
+    )
+
+
+@register(
     "text_sample_rebalance",
     """
     SELECT doc_id, lang FROM documents
@@ -2682,15 +2731,17 @@ _RUN_FIRST = [
     "crawl_metrics",
 ]
 _RUN_LAST = [
-    # three r2+r3-double-green entries demoted to keep the round-4
-    # additions (decontaminate / rebalance / packing) inside the
-    # driver's 50-query gate window; each demoted op's shape stays
-    # checked through a sibling: dedup_exact ⊂ dedup_exact_apply,
+    # four r2+r3-double-green entries demoted to keep the round-4
+    # additions (decontaminate / repetition / rebalance / packing)
+    # inside the driver's 50-query gate window; each demoted op's shape
+    # stays checked through a sibling: dedup_exact ⊂ dedup_exact_apply,
     # ann_cosine_topk ⊂ its bucketed/partitioned/ivf scale variants,
-    # w1_latest_event ≡ latest_capture_dedup + warc_multicapture_latest.
+    # w1_latest_event ≡ latest_capture_dedup + warc_multicapture_latest,
+    # dedup_simhash ⊂ dedup_simhash_pairs (same signature core).
     "dedup_exact",
     "ann_cosine_topk",
     "w1_latest_event",
+    "dedup_simhash",
     "t1_gzip_roundtrip",
     "t3_whitespace_norm",
     "t5_json_extract",

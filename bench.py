@@ -208,6 +208,37 @@ def main() -> None:
         # best of 2 per query: shared-host noise swings single runs ±3×
         timed(name, lambda n=name: q[n](spark, sf_dir).count(), trials=2)
 
+    # -- training-corpus prep (round-4 additions). Aggregate the COMPUTED
+    # columns, not count(*): a bare count lets Catalyst prune the
+    # decontamination left join / the packing window entirely (the same
+    # pruning trap the asof bench hit — CLAUDE.md round-4).
+    timed(
+        "text_decontaminate",
+        lambda: q["text_decontaminate"](spark, sf_dir)
+        .agg(F.sum("n_matched"), F.sum(F.col("contaminated").cast("int")))
+        .collect(),
+        trials=2,
+    )
+    timed(
+        "text_repetition",
+        lambda: q["text_repetition"](spark, sf_dir)
+        .agg(F.sum("top_count"), F.sum("n_distinct"))
+        .collect(),
+        trials=2,
+    )
+    timed(
+        "text_sample_rebalance",
+        lambda: q["text_sample_rebalance"](spark, sf_dir).count(),
+        trials=2,
+    )
+    timed(
+        "text_sequence_packing",
+        lambda: q["text_sequence_packing"](spark, sf_dir)
+        .agg(F.sum("start_off"), F.max("pack_id"))
+        .collect(),
+        trials=2,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -80,6 +80,34 @@ def test_sample_rebalance_partition_invariant(spark):
     assert a == b
 
 
+def test_repetition_stats_longest_run_is_top_gram_count(spark):
+    from basic_common_crawl_pipeline_spark.functions.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),  # 2-grams: "a b"×3, "b a"×2, "b c"×1
+            (2, "x y z"),  # all distinct
+            (3, "one"),  # shorter than one 2-gram
+        ],
+        ["doc_id", "text"],
+    )
+    st = repetition_stats("text", n=2)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            st["n_grams"].alias("n"),
+            st["n_distinct"].alias("d"),
+            st["top_count"].alias("t"),
+        ).collect()
+    }
+    assert (rows[1]["n"], rows[1]["d"], rows[1]["t"]) == (6, 3, 3)
+    assert (rows[2]["n"], rows[2]["d"], rows[2]["t"]) == (2, 2, 1)
+    assert (rows[3]["n"], rows[3]["d"], rows[3]["t"]) == (0, 0, 0)
+
+
 def _pack_reference(rows, budget):
     """Pure-Python packing reference: (doc_id, n_tok) sorted by doc_id."""
     out, off = {}, 0
