@@ -403,3 +403,26 @@ def test_ann_ivf_layout_partition_pruning(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_training_ops_physical_plans(spark):
+    """The round-4 training-prep operators' scale contracts, pinned:
+    repetition/rebalance are shuffle-free scans, decontamination joins
+    broadcast (never sort-merge), packing's only window partitions by
+    the physical pid (no single-partition exchange) and stays JVM."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import QUERIES
+
+    p = _plan(QUERIES["text_repetition"](spark, SF))
+    assert "Exchange" not in p and "MapInPandas" not in p
+
+    p = _plan(QUERIES["text_sample_rebalance"](spark, SF))
+    assert "Exchange" not in p and "PushedFilters" in p
+
+    p = _plan(QUERIES["text_decontaminate"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 2
+
+    p = _plan(QUERIES["text_sequence_packing"](spark, SF))
+    assert "Exchange SinglePartition" not in p
+    assert "windowspecdefinition(__pid" in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
