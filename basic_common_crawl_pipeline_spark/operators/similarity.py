@@ -518,3 +518,67 @@ def cosine_topk_lsh_partitioned(
     return cosine_topk(
         probed.drop("sig", "sig_prefix"), qvec, k, id_col, vec_col
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """Cluster-then-prune semantic deduplication (the SemDeDup shape,
+    Abbas et al. 2023, arXiv:2303.09540): coarse-quantize every vector
+    to its nearest centroid (``ivf_assign`` — the blocking key), score
+    cosine only WITHIN a cluster, and drop any vector that has an
+    earlier (smaller-id) cluster-mate with cosine ≥ ``threshold``.
+    Returns every input row as (id, list_id, kept).
+
+    The "exists an earlier similar member" rule is deliberately
+    non-iterative: one equi-join on the cluster id + one distinct + one
+    left join decide every row — no connected-components fixpoint (the
+    full CC variant is ``operators/graph.py`` over ``neardup_pairs``).
+    Determinism: round4 cosine and id-order tie-breaks, so the kept set
+    is identical across engines and cluster sizes. Scale: the pair join
+    is blocked by ``list_id`` (clusters ≈ n/k vectors); a degenerate
+    cluster (all boilerplate embeddings in one list) is exactly the
+    hot-cell shape, so the shared ``_cap_cells`` guard drops over-cap
+    clusters from PAIRING (their members stay in the output, kept) —
+    with trained centroids (``train_ivf_centroids``) list skew is
+    bounded in the first place."""
+    from .dedup import _cap_cells
+
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id")
+    in_cells = _cap_cells(assigned, cell_cap, keys=("list_id",))
+    left = in_cells.alias("l")
+    right = in_cells.alias("r")
+    drops = (
+        left.join(
+            right,
+            on=[
+                F.col("l.list_id") == F.col("r.list_id"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .filter(
+            round4(
+                _dot(F.col("l.v"), F.col("r.v"))
+                / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+            )
+            >= threshold
+        )
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

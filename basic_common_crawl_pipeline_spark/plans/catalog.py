@@ -1786,6 +1786,45 @@ def ann_ivf_assign(spark, sf_dir):
 
 
 @register(
+    "emb_semantic_dedup",
+    f"""
+    WITH {_SQL_IVF_ASSIGN},
+    v AS (
+      SELECT e.vec_id, a.list_id, e.embedding
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    p AS (
+      SELECT l.vec_id AS a, r.vec_id AS b,
+             {_r4(
+                 "sum(CAST(l.embedding[s.i] AS DOUBLE)"
+                 " * CAST(r.embedding[s.i] AS DOUBLE))"
+                 " / (sqrt(sum(CAST(l.embedding[s.i] AS DOUBLE)"
+                 " * CAST(l.embedding[s.i] AS DOUBLE)))"
+                 " * sqrt(sum(CAST(r.embedding[s.i] AS DOUBLE)"
+                 " * CAST(r.embedding[s.i] AS DOUBLE))))"
+             )} AS cos
+      FROM v l JOIN v r ON l.list_id = r.list_id AND l.vec_id < r.vec_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY l.vec_id, r.vec_id
+    ),
+    drops AS (SELECT DISTINCT b FROM p WHERE cos >= 0.35)
+    SELECT v.vec_id, v.list_id, (drops.b IS NULL) AS kept
+    FROM v LEFT JOIN drops ON v.vec_id = drops.b
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape semantic deduplication (operators/similarity.py::
+    semantic_dedup): IVF coarse quantization as the blocking key, exact
+    cosine only within a cluster, drop every vector with an earlier
+    similar cluster-mate. The oracle replays assignment + the blocked
+    pair join + the drop rule in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.35, centroids=_IVF_CENTROIDS
+    )
+
+
+@register(
     "ann_cosine_topk_ivf",
     f"""
     WITH {_SQL_IVF_ASSIGN},
@@ -2731,17 +2770,20 @@ _RUN_FIRST = [
     "crawl_metrics",
 ]
 _RUN_LAST = [
-    # four r2+r3-double-green entries demoted to keep the round-4
-    # additions (decontaminate / repetition / rebalance / packing)
-    # inside the driver's 50-query gate window; each demoted op's shape
-    # stays checked through a sibling: dedup_exact ⊂ dedup_exact_apply,
-    # ann_cosine_topk ⊂ its bucketed/partitioned/ivf scale variants,
-    # w1_latest_event ≡ latest_capture_dedup + warc_multicapture_latest,
-    # dedup_simhash ⊂ dedup_simhash_pairs (same signature core).
+    # five r2+r3-double-green entries demoted to keep the round-4
+    # additions (decontaminate / repetition / rebalance / packing /
+    # semantic dedup) inside the driver's 50-query gate window; each
+    # demoted op's shape stays checked through a sibling:
+    # dedup_exact ⊂ dedup_exact_apply, ann_cosine_topk ⊂ its
+    # bucketed/partitioned/ivf scale variants, w1_latest_event ≡
+    # latest_capture_dedup + warc_multicapture_latest, dedup_simhash ⊂
+    # dedup_simhash_pairs (same signature core), text_fingerprint ~
+    # text_rolling_fingerprint (the fingerprinting family's other row).
     "dedup_exact",
     "ann_cosine_topk",
     "w1_latest_event",
     "dedup_simhash",
+    "text_fingerprint",
     "t1_gzip_roundtrip",
     "t3_whitespace_norm",
     "t5_json_extract",

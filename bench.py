@@ -227,6 +227,13 @@ def main() -> None:
         trials=2,
     )
     timed(
+        "emb_semantic_dedup",
+        lambda: q["emb_semantic_dedup"](spark, sf_dir)
+        .agg(F.sum(F.col("kept").cast("int")))
+        .collect(),
+        trials=2,
+    )
+    timed(
         "text_sample_rebalance",
         lambda: q["text_sample_rebalance"](spark, sf_dir).count(),
         trials=2,

@@ -953,3 +953,66 @@ def test_connected_components_star_log_rounds(spark):
     )
     assert star == fp
     assert (69, 69) in star or any(n == 69 for n, _ in star)
+
+
+def test_semantic_dedup_drop_rule_vs_numpy(spark):
+    """semantic_dedup's kept set must equal the numpy replay of the
+    contract: assign to argmax-round4-cosine centroid, then drop any
+    vector with a smaller-id same-cluster mate at round4-cos >= t."""
+    import math
+
+    import numpy as np
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(16, 64)
+    out = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in semantic_dedup(emb, threshold=0.35, centroids=cents).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.array(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4
+    scores = Vn @ Cn.T
+    assign = {}
+    for i, vid in enumerate(ids):
+        s = [r4(x) for x in scores[i]]
+        assign[vid] = s.index(max(s))
+    cos = Vn @ Vn.T
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    for i in order:
+        vid = ids[i]
+        want_kept = not any(
+            ids[j] < vid
+            and assign[ids[j]] == assign[vid]
+            and r4(cos[i][j]) >= 0.35
+            for j in range(len(ids))
+        )
+        assert out[vid] == (assign[vid], want_kept), vid
+    assert any(not kept for _, kept in out.values())  # rule actually fires
+
+
+def test_semantic_dedup_hot_cluster_cap_keeps_members(spark):
+    """An over-cap cluster is excluded from PAIRING, not from the
+    output: all its members come back kept=True."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(16, 64)
+    out = semantic_dedup(emb, threshold=0.35, centroids=cents, cell_cap=2)
+    n = emb.count()
+    assert out.count() == n
+    # with every cluster > 2 members excluded from pairing, nearly all
+    # rows survive; crucially none are LOST
+    assert out.filter("kept").count() >= out.count() - 2
