@@ -156,37 +156,56 @@ def rolling_fingerprint(text: Column | str, k: int = RK_K) -> Column:
     )
 
 
-def repetition_stats(text: Column | str, n: int = 2) -> dict[str, Column]:
-    """Gopher-style repetition measures over word ``n``-grams, all
-    per-row JVM array ops (zero shuffles at any corpus size):
-    ``n_grams`` total occurrences, ``n_distinct`` distinct grams, and
-    ``top_count`` = occurrences of the most frequent gram (computed as
-    the longest equal-run of the SORTED gram array via one
-    ``F.aggregate`` fold — no explode, no per-doc groupBy). Pure
-    integers, so downstream repetition gates stay exact cross-engine."""
+def repetition_stats(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition measures over word ``n``-grams as ONE
+    struct column ``(n_grams, n_distinct, top_count)``: total gram
+    occurrences, distinct grams, and the most frequent gram's count —
+    all from a single ``F.aggregate`` fold over the SORTED gram array
+    (longest equal-run = top count; run boundaries = distinct count).
+    Per-row JVM array ops, zero shuffles at any corpus size, and pure
+    integers so downstream repetition gates stay exact cross-engine.
+
+    One fold on purpose: higher-order functions are interpreted (no
+    whole-stage-codegen subexpression elimination), so three separate
+    stat expressions each rebuild the gram array — measured 2× slower
+    at sf0.1. Project this struct ONCE (``withColumn``) and select its
+    fields; re-deriving fields from separate ``repetition_stats`` calls
+    re-pays the fold per field."""
     grams = word_ngrams(text, n)
     zero = F.lit(0).cast("long")
     init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("n"),
+        zero.alias("d"),
     )
 
     def step(acc, g):
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
+        # n == 0 guards the first element: no sentinel string can
+        # collide with a real gram (an empty-string gram exists at n=1)
+        fresh = (acc["n"] == 0) | (g != acc["prev"])
+        run = F.when(fresh, F.lit(1).cast("long")).otherwise(acc["run"] + 1)
         return F.struct(
             g.alias("prev"),
             run.alias("run"),
             F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+            (acc["d"] + F.when(fresh, 1).otherwise(0).cast("long")).alias(
+                "d"
+            ),
         )
 
-    return {
-        "n_grams": F.size(grams).cast("long"),
-        "n_distinct": F.size(F.array_distinct(grams)).cast("long"),
-        "top_count": F.aggregate(
-            F.array_sort(grams), init, step, lambda acc: acc["best"]
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["n"].alias("n_grams"),
+            acc["d"].alias("n_distinct"),
+            acc["best"].alias("top_count"),
         ),
-    }
+    )
 
 
 def doc_fingerprint(text: Column | str, n: int = 4) -> Column:

@@ -1099,15 +1099,19 @@ def text_repetition(spark, sf_dir):
     the operator avoids. ``repetitive`` = top 2-gram covers ≥10% of ≥10
     gram occurrences — pure integer arithmetic, exact cross-engine."""
     docs = load(spark, sf_dir, "documents")
-    st = ts.repetition_stats("text", n=2)
-    return docs.select(
-        "doc_id",
-        st["n_grams"].alias("n_grams"),
-        st["n_distinct"].alias("n_distinct"),
-        st["top_count"].alias("top_count"),
-        (
-            (st["n_grams"] >= 10) & (st["top_count"] * 10 >= st["n_grams"])
-        ).alias("repetitive"),
+    return (
+        docs.withColumn("__s", ts.repetition_stats("text", n=2))
+        .select(
+            "doc_id",
+            F.col("__s.n_grams").alias("n_grams"),
+            F.col("__s.n_distinct").alias("n_distinct"),
+            F.col("__s.top_count").alias("top_count"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("n_grams") >= 10)
+            & (F.col("top_count") * 10 >= F.col("n_grams")),
+        )
     )
 
 

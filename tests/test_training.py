@@ -93,15 +93,16 @@ def test_repetition_stats_longest_run_is_top_gram_count(spark):
         ],
         ["doc_id", "text"],
     )
-    st = repetition_stats("text", n=2)
     rows = {
         r["doc_id"]: r
-        for r in df.select(
+        for r in df.withColumn("s", repetition_stats("text", n=2))
+        .select(
             "doc_id",
-            st["n_grams"].alias("n"),
-            st["n_distinct"].alias("d"),
-            st["top_count"].alias("t"),
-        ).collect()
+            F.col("s.n_grams").alias("n"),
+            F.col("s.n_distinct").alias("d"),
+            F.col("s.top_count").alias("t"),
+        )
+        .collect()
     }
     assert (rows[1]["n"], rows[1]["d"], rows[1]["t"]) == (6, 3, 3)
     assert (rows[2]["n"], rows[2]["d"], rows[2]["t"]) == (2, 2, 1)
@@ -150,3 +151,47 @@ def test_pack_token_stream_offsets_are_contiguous(spark):
     for r in out:
         assert r["start_off"] == off
         off += r["n_tok"]
+
+
+def test_pack_token_stream_property(spark):
+    """Hypothesis sweep: random token counts (zeros, duplicates of the
+    order key never occur — doc_id is unique), random budgets, and two
+    shuffle-partition counts must all reproduce the Python prefix-sum
+    reference exactly (partition boundaries are the only moving part)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(
+            st.integers(min_value=0, max_value=40), min_size=0, max_size=60
+        ),
+        budget=st.integers(min_value=1, max_value=64),
+    )
+    def run(toks, budget):
+        rows = list(enumerate(toks))
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        cache = []
+        try:
+            for n_parts in ("2", "9"):
+                spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+                got = {
+                    r["doc_id"]: (r["start_off"], r["pack_id"], r["straddles"])
+                    for r in pack_token_stream(
+                        df, ["doc_id"], "n_tok", budget=budget, cache=cache
+                    ).collect()
+                }
+                assert got == _pack_reference(rows, budget), (n_parts, budget)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            for c in cache:
+                c.unpersist()
+
+    run()
