@@ -329,11 +329,18 @@ def simhash_pairs(
             for c in range(chunks)
         ]
     )
-    banded = sh.select("id", F.explode(structs).alias("c")).select(
-        "id", "c.chunk_id", "c.chunk_key"
+    # the signature rides THROUGH the banding (one extra long per
+    # banded row) so the Hamming verify runs INLINE on the candidate
+    # rows — no sim-value lookup joins over the (dense-corpus-huge)
+    # pair set, and the distinct dedupes the post-filter survivors
+    # only. Measured 2.2× vs distinct-then-two-joins at sf0.1 (2.8M
+    # pairs). On a dense near-dup corpus the pair VOLUME itself is the
+    # cost floor; run exact-dedup first, as the cap docstring says.
+    banded = sh.select("id", "simhash", F.explode(structs).alias("c")).select(
+        "id", "simhash", "c.chunk_id", "c.chunk_key"
     )
     banded = _cap_cells(banded, cell_cap, keys=("chunk_id", "chunk_key"))
-    pairs = (
+    return (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -343,18 +350,13 @@ def simhash_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
-    sb = sh.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
-    return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
         .select(
-            "a",
-            "b",
-            F.expr("bit_count(sim_a ^ sim_b)").cast("long").alias("hamming"),
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)")
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
