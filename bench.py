@@ -196,7 +196,6 @@ def main() -> None:
         "ann_cosine_topk_ivf",
         "emb_neardup_pairs",
         "link_pagerank",
-        "j4_asof_join",
         "j5_range_join",
         "rollup_hypertable",
         "text_quality",
@@ -207,6 +206,17 @@ def main() -> None:
     ):
         # best of 2 per query: shared-host noise swings single runs ±3×
         timed(name, lambda n=name: q[n](spark, sf_dir).count(), trials=2)
+
+    # j4 must aggregate the CARRIED columns — a bare count() provably
+    # prunes the whole LOCF Window from the plan (verified: the count
+    # plan contains zero Window nodes), timing only the range shuffle.
+    timed(
+        "j4_asof_join",
+        lambda: q["j4_asof_join"](spark, sf_dir)
+        .agg(F.sum("policy_value"), F.max("policy_event"))
+        .collect(),
+        trials=2,
+    )
 
     # -- training-corpus prep (round-4 additions). Aggregate the COMPUTED
     # columns, not count(*): a bare count lets Catalyst prune the
