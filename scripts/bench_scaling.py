@@ -203,6 +203,19 @@ hardware ceiling probe (pure-Python extraction, docs/sec):
   while the two-phase default tracks rows/partitions, so the gap widens
   without bound. Both shapes are exposed via `asof_join(strategy=...)`.
 - per-query wall times (local[32]): `{json.dumps(results[32]["queries"])}`
+- **round-4 continuation A/B wins** (each measured in isolation,
+  best-of-2, identical outputs): simhash_pairs 2.2× (signature carried
+  through banding, Hamming verify inline — no sim-lookup joins over the
+  2.8M-pair set this dense corpus produces), decontaminate 3×
+  (single-scan explode_outer + broadcast left join + map-side-combined
+  per-doc agg), neardup_pairs 2.6× / semantic_dedup 2.5× (vector norms
+  materialized per ROW by the join exchange instead of re-folded per
+  PAIR), repetition 2× (ONE fold computes all three gram stats —
+  higher-order functions get no codegen subexpression elimination),
+  IVF scoring (constant centroid/query norms folded driver-side,
+  bit-identically). `j4_asof_join` is timed with its carried columns
+  aggregated — a bare count() compiles to a plan with zero Window
+  nodes (the LOCF pruned away).
 - **3-small-waves row = the latency-floor probe, by design.** Its
   fixed cost was decomposed this round (UI-REST job timeline +
   driver cProfile, best-of-3 on an idle box): per wave ≈ 2 s of real
