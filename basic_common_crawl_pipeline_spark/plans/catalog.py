@@ -1024,9 +1024,7 @@ def text_training_filter(spark, sf_dir):
     return gated.select("doc_id", "n_tok", "stop_ratio")
 
 
-@register(
-    "text_decontaminate",
-    f"""
+_DECON_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, list_transform(
                range(1, greatest(len(toks) - 4, 0) + 1),
@@ -1045,8 +1043,10 @@ def text_training_filter(spark, sf_dir):
            coalesce(n_matched, 0) AS n_matched,
            coalesce(n_matched, 0) >= 1 AS contaminated
     FROM corpus LEFT JOIN m USING (doc_id)
-    """,
-)
+    """
+
+
+@register("text_decontaminate", _DECON_ORACLE)
 def text_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/training.py::decontaminate):
     every 17th document plays the held-out eval set; the rest of the
@@ -2127,6 +2127,41 @@ def stream_seen_dedup(spark, sf_dir):
     )
 
 
+@register("stream_decontaminate", _DECON_ORACLE)
+def stream_decontaminate(spark, sf_dir):
+    """Streaming decontamination — the continuous-curation shape of a
+    crawl feeding a training corpus: corpus documents arrive as a
+    file-queue stream (4 real micro-batches), the STATIC benchmark
+    gram-set broadcasts into a stream-static left join, and the per-doc
+    match counts accumulate in a streaming aggregation (complete mode,
+    drained with availableNow). The final table equals the batch
+    operator exactly, so text_decontaminate's full DuckDB oracle
+    applies unchanged — same operator code path
+    (operators/training.py::decontaminate) on a streaming input."""
+    import tempfile
+    import uuid
+
+    from ..operators.training import decontaminate
+    from ..streaming.queue_stream import consume_batches, run_stream_to_memory
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    qdir = tempfile.mkdtemp(prefix="queue_docs_")
+    corpus.repartition(8).write.mode("overwrite").parquet(qdir)
+    stream = consume_batches(
+        spark, qdir, corpus.schema, max_files_per_trigger=2
+    )
+    flagged = decontaminate(stream, bench, n=5, min_matches=1)
+    return run_stream_to_memory(
+        spark,
+        flagged,
+        f"decon_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode="complete",
+    )
+
+
 @register(
     "sql_revenue_by_segment",
     """
@@ -2788,6 +2823,7 @@ _RUN_LAST = [
     "w1_latest_event",
     "dedup_simhash",
     "text_fingerprint",
+    "p1_parse_cluster_idx",  # P1 stays in-gate via batcher_slice's S1→P1
     "t1_gzip_roundtrip",
     "t3_whitespace_norm",
     "t5_json_extract",
