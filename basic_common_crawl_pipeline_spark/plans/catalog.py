@@ -1116,6 +1116,35 @@ def text_repetition(spark, sf_dir):
 
 
 @register(
+    "text_vocab_topk",
+    f"""
+    WITH t AS (SELECT unnest({SQL_TOKS}) AS tok FROM documents),
+    c AS (
+      SELECT lower(tok) AS token, count(*) AS n
+      FROM t WHERE tok <> '' GROUP BY lower(tok)
+    )
+    SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics — the tokenizer-training precursor:
+    global token frequencies (case-folded) with a deterministic top-k.
+    The classic two-level aggregation: explode → hash-aggregate with
+    map-side partial combine (the shuffle carries one row per distinct
+    token per partition, never per occurrence) → TakeOrderedAndProject.
+    At 100 TB this is exactly the BPE-vocab counting job."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ts.word_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("token"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+
+
+@register(
     "text_sample_rebalance",
     """
     SELECT doc_id, lang FROM documents
@@ -2824,6 +2853,7 @@ _RUN_LAST = [
     "dedup_simhash",
     "text_fingerprint",
     "p1_parse_cluster_idx",  # P1 stays in-gate via batcher_slice's S1→P1
+    "f1_language_filter",  # F1 stays in-gate via batcher_slice/p2 eligibility
     "t1_gzip_roundtrip",
     "t3_whitespace_norm",
     "t5_json_extract",
