@@ -203,6 +203,7 @@ def main() -> None:
         "warc_ingest",
         "warc_range_fetch",
         "batcher_slice",
+        "text_vocab_topk",
     ):
         # best of 2 per query: shared-host noise swings single runs ±3×
         timed(name, lambda n=name: q[n](spark, sf_dir).count(), trials=2)
