@@ -216,3 +216,40 @@ def doc_fingerprint(text: Column | str, n: int = 4) -> Column:
         F.array_min(F.transform(grams, lambda g: F.md5(g))),
         F.md5(norm_text(text)),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data release hygiene). The patterns are written
+# in the common subset of Java regex (Spark) and RE2 (DuckDB) — character
+# classes, bounded repetition and \b only; no backreferences/lookaround —
+# so the DuckDB oracle can run the IDENTICAL pattern strings and the two
+# engines agree by construction. All JVM-side regexp_replace/regexp_count:
+# no Python in the hot path, whole-stage codegen throughout.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails, then phone numbers, then IPv4 addresses with typed
+    placeholder tokens. Order matters and is fixed: the email pattern can
+    contain dotted digit runs (user.42.x@host), so it must be consumed
+    before the IP pass; the replacements themselves introduce no digits,
+    so later passes can never match inside an earlier placeholder."""
+    c = _col(text)
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_emails, n_phones, n_ips) — match counts on the RAW text
+    (before redaction), for release-audit aggregation."""
+    c = _col(text)
+    return F.struct(
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+    )

@@ -360,3 +360,66 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document LINE deduplication — the RefinedWeb/CCNet
+    boilerplate-removal pass that runs BELOW document granularity: drop
+    every non-empty line whose exact text occurs in at least ``min_docs``
+    DISTINCT documents (cookie banners, nav menus, footers), keep every
+    other line in original order. Returns one row per input document:
+    ``(id_col, n_lines, n_kept, text_deduped)``; a document whose every
+    line is boilerplate comes back with ``text_deduped = ''`` (the row is
+    never lost). Within-doc repeats do NOT make a line a duplicate (the
+    count is distinct-doc), and empty lines are never dropped.
+
+    Scale shape (10^10 docs): the duplicated-line set is the Zipf head —
+    tiny relative to the corpus — so it is ONE hash-aggregate on the
+    60-bit line hash (map-side partial combine: the shuffle carries one
+    row per distinct line per input partition, never one per
+    occurrence), then a join back BY HASH marks lines for removal and a
+    groupBy on the unique document id (skew-free by construction)
+    reassembles the survivors with an in-group array_sort — no window,
+    no per-line shuffle beyond the one the mark join needs. Matching is
+    by the 60-bit hash on BOTH engines (operator and oracle), so
+    cross-engine equality is by construction, not collision-probability.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__h", _hash64_expr(F.col("__line")))
+    dup = (
+        lines.filter(F.col("__line") != "")
+        .groupBy("__h")
+        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    keep = F.col("__dup").isNull()
+    return (
+        lines.join(dup, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(keep, True)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep, F.struct(F.col("__pos"), F.col("__line"))
+                            )
+                        )
+                    ),
+                    lambda x: x["__line"],
+                ),
+                sep,
+            ).alias("text_deduped"),
+        )
+    )

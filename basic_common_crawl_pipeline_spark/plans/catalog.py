@@ -1207,6 +1207,148 @@ def text_sequence_packing(spark, sf_dir):
 
 
 @register(
+    "text_line_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_concat(
+               list_concat(
+                 ['cookie notice this site uses cookies'],
+                 list_transform(
+                   range(1, greatest(CAST(ceil(len(toks) / 4.0) AS BIGINT),
+                                     1) + 1),
+                   i -> array_to_string(
+                          list_slice(toks, (i - 1) * 4 + 1, (i - 1) * 4 + 4),
+                          ' '))),
+               ['section ' || CAST(doc_id % 7 AS VARCHAR)]) AS lines
+      FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(lines) AS line,
+             unnest(range(1, len(lines) + 1)) AS pos
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, pos, line,
+             ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+      FROM l
+    ),
+    dup AS (
+      SELECT lh FROM (
+        SELECT lh, count(DISTINCT doc_id) AS nd
+        FROM h WHERE line <> '' GROUP BY lh
+      ) WHERE nd >= 2
+    ),
+    m AS (
+      SELECT h.doc_id, h.pos, h.line, dup.lh IS NOT NULL AS isdup
+      FROM h LEFT JOIN dup USING (lh)
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           count(CASE WHEN NOT isdup THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+                               chr(10) ORDER BY pos), '') AS text_deduped
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (operators/dedup.py::line_dedup) — the
+    RefinedWeb/CCNet boilerplate-line removal pass. The flat synthetic
+    documents are first given line structure deterministically on BOTH
+    engines: an injected cookie-banner line (identical in every doc),
+    the document's tokens in 4-token content lines (organic cross-doc
+    collisions only), and a 'section k' footer shared by the doc_id%7
+    class. Lines present in ≥2 distinct docs are dropped; content
+    survives. One hash-aggregate over the Zipf head + a mark join by
+    60-bit line hash + a skew-free per-doc reassembly — the 100-TB
+    shape of sub-document dedup."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ts.word_tokens("text")
+    nc = F.greatest(
+        F.ceil(F.size(toks) / F.lit(4.0)).cast("long"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1).cast("long"), nc),
+        lambda i: F.array_join(
+            F.slice(toks, (i - F.lit(1)) * F.lit(4) + F.lit(1), F.lit(4)),
+            " ",
+        ),
+    )
+    lines_arr = F.concat(
+        F.array(F.lit("cookie notice this site uses cookies")),
+        chunks,
+        F.array(
+            F.concat(F.lit("section "), (F.col("doc_id") % 7).cast("string"))
+        ),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    return dedup.line_dedup(lined, min_docs=2)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# plain string (NOT an f-string): the regex bounded-repetition braces
+# must reach DuckDB verbatim. The pattern literals are the exact strings
+# functions/textstats.py compiles on the Spark side — the common
+# Java-regex/RE2 subset, so both engines match identically.
+_PII_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 today' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+               '{phone}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g') AS text_redacted,
+           len(regexp_extract_all(t, '{email}')) AS n_emails,
+           len(regexp_extract_all(t, '{phone}')) AS n_phones,
+           len(regexp_extract_all(t, '{ip}')) AS n_ips
+    FROM p
+    """.format(email=_PII_EMAIL, phone=_PII_PHONE, ip=_PII_IPV4)
+
+
+@register("text_pii_redact", _PII_ORACLE)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction (functions/textstats.py::redact_pii) — the
+    release-hygiene pass of a training-data pipeline. Synthetic PII
+    (an email, a phone number, an IPv4 address derived from doc_id) is
+    appended deterministically on BOTH engines, then masked with typed
+    placeholders and counted. Pure JVM regexp_replace/regexp_count over
+    one scan — a narrow, shuffle-free map at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 today"),
+    )
+    counts = ts.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        ts.redact_pii(t).alias("text_redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+    )
+
+
+@register(
     "dedup_exact_apply",
     f"""
     WITH k AS (
@@ -2863,6 +3005,12 @@ _RUN_LAST = [
     "f1_language_substring",
     "p2_parse_cdx_spacejoin",  # bug-compat variant; canonical p2 stays mid
     "dedup_ngram_jaccard",     # brute-force baseline; scale paths stay mid
+    # two more r2+r3-double-greens demoted for the round-4 line-dedup /
+    # PII entries: sql_revenue_by_segment is plain SQL over the same agg
+    # shape a1 keeps in-gate; b3_global_order has its own determinism
+    # pytest and b4 exercises the ordering machinery in-gate.
+    "sql_revenue_by_segment",
+    "b3_global_order",
 ]
 
 

@@ -195,3 +195,109 @@ def test_pack_token_stream_property(spark):
                 c.unpersist()
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (operators/dedup.py::line_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_rows(spark, docs, n_parts=None, **kw):
+    from basic_common_crawl_pipeline_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    if n_parts is not None:
+        df = df.repartition(n_parts)
+    return {r["doc_id"]: r for r in line_dedup(df, **kw).collect()}
+
+
+_LINE_DOCS = [
+    # "boiler" is in docs 1,2,3 → dropped everywhere; "unique N" kept;
+    # doc 2 repeats "twice" twice but only within itself → kept both
+    # times; doc 3 is all boilerplate → empty output text, row retained;
+    # doc 4 has an empty line ("a\n\nb") that must never be dropped even
+    # though empty lines repeat across docs.
+    (1, "boiler\nunique one"),
+    (2, "twice\nboiler\ntwice"),
+    (3, "boiler"),
+    (4, "a\n\nb"),
+    (5, "c\n\nd"),
+]
+
+
+def test_line_dedup_semantics(spark):
+    rows = _line_dedup_rows(spark, _LINE_DOCS)
+    assert rows[1]["text_deduped"] == "unique one"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (2, 1)
+    # within-doc repetition is NOT cross-doc duplication: both kept
+    assert rows[2]["text_deduped"] == "twice\ntwice"
+    assert rows[2]["n_kept"] == 2
+    # a fully-boilerplate doc keeps its row with empty text
+    assert rows[3]["text_deduped"] == "" and rows[3]["n_kept"] == 0
+    # empty lines survive even though '' occurs in docs 4 and 5
+    assert rows[4]["text_deduped"] == "a\n\nb"
+    assert rows[5]["text_deduped"] == "c\n\nd"
+    assert len(rows) == len(_LINE_DOCS)
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    # with min_docs=4 nothing reaches the threshold → identity
+    rows = _line_dedup_rows(spark, _LINE_DOCS, min_docs=4)
+    for doc_id, text in _LINE_DOCS:
+        assert rows[doc_id]["text_deduped"] == text
+        assert rows[doc_id]["n_kept"] == rows[doc_id]["n_lines"]
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_line_dedup_partition_invariant(spark, n_parts):
+    base = _line_dedup_rows(spark, _LINE_DOCS)
+    parted = _line_dedup_rows(spark, _LINE_DOCS, n_parts=n_parts)
+    for doc_id in base:
+        assert parted[doc_id] == base[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (functions/textstats.py::redact_pii / pii_counts)
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from basic_common_crawl_pipeline_spark.functions.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_9@sub.example.org and x@y.io end"),
+            (2, "call +1-555-0142 or +44-555-9999 now"),
+            (3, "hosts 10.0.0.1 and 192.168.255.12."),
+            # dotted digits inside an email local part must be consumed
+            # by the email pass, not the IP pass
+            (4, "user.1.2.3.4x@example.com stays one email"),
+            (5, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("t"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1]["t"] == "mail <EMAIL> and <EMAIL> end"
+    assert out[1]["c"]["n_emails"] == 2
+    assert out[2]["t"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["c"]["n_phones"] == 2
+    assert out[3]["t"] == "hosts <IP> and <IP>."
+    assert out[3]["c"]["n_ips"] == 2
+    assert out[4]["t"] == "<EMAIL> stays one email"
+    assert (out[4]["c"]["n_emails"], out[4]["c"]["n_ips"]) == (1, 0)
+    assert out[5]["t"] == "clean text with no pii at all"
+    assert (
+        out[5]["c"]["n_emails"],
+        out[5]["c"]["n_phones"],
+        out[5]["c"]["n_ips"],
+    ) == (0, 0, 0)
