@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import word_ngrams
+from ..functions.textstats import word_ngrams, word_tokens
 
 
 def decontaminate(
@@ -183,4 +183,57 @@ def pack_token_stream(
             ),
         )
         .drop("__pid", "__base")
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """CCNet-style corpus-statistics quality scoring with INTEGER-exact
+    semantics: build the top-``vocab_size`` unigram vocabulary from the
+    corpus itself (count desc, token asc — deterministic at the
+    boundary), then score every document against it. Returns one row per
+    doc: ``(id, n_tok, n_oov, sum_freq, oov_ratio)`` where ``n_oov``
+    counts tokens outside the vocabulary, ``sum_freq`` is the exact
+    BIGINT sum of the global frequencies of the in-vocab tokens (the
+    monotone stand-in for Σ log p(tok) — higher = more stereotypical
+    text), and ``oov_ratio = n_oov / n_tok`` (round4). CCNet ranks by LM
+    perplexity; a float log-prob would be engine-divergent at the ulp,
+    so the score domain here is integers + one exact ratio.
+
+    Scale shape (100 TB): pass 1 is the vocab-counting job (explode →
+    map-side-combined hash aggregate → TakeOrderedAndProject, the
+    text_vocab_topk plan); the resulting Zipf head is tiny and is
+    BROADCAST into pass 2, so the corpus is scanned twice but never
+    shuffles its text — only (doc_id, tok) pairs flow into the per-doc
+    aggregate on the unique id (skew-free). Same two-pass
+    corpus-statistic shape as ``decontaminate``, with the reference set
+    derived from the corpus itself instead of a benchmark."""
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+        )
+        .filter(F.col("__t") != "")
+        .select(id_col, F.lower("__t").alias("__tok"))
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count("*").alias("__freq"))
+        .orderBy(F.col("__freq").desc(), "__tok")
+        .limit(vocab_size)
+    )
+    joined = toks.join(F.broadcast(vocab), "__tok", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.count(F.when(F.col("__freq").isNull(), True)).alias("n_oov"),
+        F.coalesce(F.sum("__freq"), F.lit(0)).cast("long").alias("sum_freq"),
+    )
+    from ..functions.numeric import round4
+
+    return agg.withColumn(
+        "oov_ratio",
+        round4(F.col("n_oov") / F.greatest(F.col("n_tok"), F.lit(1))),
     )

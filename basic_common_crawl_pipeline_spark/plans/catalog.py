@@ -1288,6 +1288,47 @@ def text_line_dedup(spark, sf_dir):
     return dedup.line_dedup(lined, min_docs=2)
 
 
+@register(
+    "text_lm_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+      ORDER BY freq DESC, tok LIMIT 16
+    ),
+    a AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tok,
+             count(CASE WHEN vocab.freq IS NULL THEN 1 END) AS n_oov,
+             CAST(coalesce(sum(vocab.freq), 0) AS BIGINT) AS sum_freq
+      FROM tok LEFT JOIN vocab USING (tok)
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, n_oov, sum_freq,
+           {_r4("n_oov / greatest(n_tok, 1)")} AS oov_ratio
+    FROM a
+    """,
+)
+def text_lm_quality(spark, sf_dir):
+    """Corpus-statistics LM quality scoring (operators/training.py::
+    unigram_lm_score) — the CCNet-style 'how stereotypical is this
+    document' gate with an integer-exact score domain: the corpus's own
+    top-16 unigram vocabulary (count desc, token asc — deterministic at
+    the boundary) is broadcast back over the corpus; per doc the
+    out-of-vocabulary token count, the exact BIGINT sum of in-vocab
+    global frequencies (the monotone stand-in for Σ log p) and the
+    round4 OOV ratio. vocab_size=16 sits mid-Zipf for the synthetic
+    corpus so both OOV classes are populated."""
+    from ..operators.training import unigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, vocab_size=16)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -3011,6 +3052,10 @@ _RUN_LAST = [
     # pytest and b4 exercises the ordering machinery in-gate.
     "sql_revenue_by_segment",
     "b3_global_order",
+    # demoted for text_lm_quality: langid is a pure narrow column op,
+    # double-green r2+r3, same textstats family text_quality keeps
+    # in-gate, and pinned by tests/test_extract.py-adjacent unit tests.
+    "text_langid",
 ]
 
 

@@ -256,6 +256,30 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # sum over the REASSEMBLED text length: forces the mark join AND the
+    # per-doc array_sort reassembly (n_kept alone would let the collect_
+    # list aggregate be pruned).
+    timed(
+        "text_line_dedup",
+        lambda: q["text_line_dedup"](spark, sf_dir)
+        .agg(F.sum(F.length("text_deduped")), F.sum("n_kept"))
+        .collect(),
+        trials=2,
+    )
+    timed(
+        "text_lm_quality",
+        lambda: q["text_lm_quality"](spark, sf_dir)
+        .agg(F.sum("sum_freq"), F.sum("n_oov"))
+        .collect(),
+        trials=2,
+    )
+    timed(
+        "text_pii_redact",
+        lambda: q["text_pii_redact"](spark, sf_dir)
+        .agg(F.sum(F.length("text_redacted")), F.sum("n_emails"))
+        .collect(),
+        trials=2,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -301,3 +301,60 @@ def test_redact_pii_masks_and_counts(spark):
         out[5]["c"]["n_phones"],
         out[5]["c"]["n_ips"],
     ) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality (operators/training.py::unigram_lm_score)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_score_exact_counts(spark):
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        unigram_lm_score,
+    )
+
+    # global freqs: aa=4, bb=3, cc=2, dd=2, zz=1. vocab_size=3 keeps
+    # {aa, bb, cc}: at the freq-2 boundary the (count desc, token asc)
+    # tie-break deterministically picks cc over dd.
+    docs = [
+        (1, "aa aa bb cc"),
+        (2, "aa bb dd"),
+        (3, "aa bb cc dd"),
+        (4, "zz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in unigram_lm_score(df, vocab_size=3).collect()
+    }
+    # doc 1: all in vocab; sum_freq = 4+4+3+2
+    assert (rows[1]["n_tok"], rows[1]["n_oov"], rows[1]["sum_freq"]) == (
+        4, 0, 13,
+    )
+    # doc 2: dd is OOV (lost the boundary tie) → 4+3
+    assert (rows[2]["n_tok"], rows[2]["n_oov"], rows[2]["sum_freq"]) == (
+        3, 1, 7,
+    )
+    assert rows[2]["oov_ratio"] == pytest.approx(0.3333, abs=1e-9)
+    # doc 3: 4+3+2, dd OOV
+    assert (rows[3]["n_oov"], rows[3]["sum_freq"]) == (1, 9)
+    # doc 4: fully OOV
+    assert (rows[4]["n_oov"], rows[4]["sum_freq"], rows[4]["oov_ratio"]) == (
+        1, 0, 1.0,
+    )
+
+
+def test_unigram_lm_score_case_folds_and_partition_invariant(spark):
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        unigram_lm_score,
+    )
+
+    docs = [(i, f"Tok tok TOK extra{i % 3}") for i in range(30)]
+    base = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = {r["doc_id"]: r for r in unigram_lm_score(base, vocab_size=2).collect()}
+    b = {
+        r["doc_id"]: r
+        for r in unigram_lm_score(base.repartition(7), vocab_size=2).collect()
+    }
+    assert a == b
+    # case folding: Tok/tok/TOK are one vocab entry with freq 90
+    assert a[0]["sum_freq"] >= 270
