@@ -428,3 +428,21 @@ def test_training_ops_physical_plans(spark):
     assert "Exchange SinglePartition" not in p
     assert "windowspecdefinition(__pid" in p
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    # PII redaction is a narrow map over the scan: no shuffle, all JVM
+    p = _plan(QUERIES["text_pii_redact"](spark, SF))
+    assert "Exchange" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    # line dedup: mark join + reassembly, never a window (a per-doc
+    # window would serialize on document size); the dup-set aggregate
+    # partially combines map-side (two-level HashAggregate on __h)
+    p = _plan(QUERIES["text_line_dedup"](spark, SF))
+    assert "windowspecdefinition" not in p
+    assert "partial_count(distinct " in p
+
+    # LM quality: vocab via TakeOrderedAndProject, broadcast back over
+    # the corpus — the corpus side must never sort-merge
+    p = _plan(QUERIES["text_lm_quality"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
