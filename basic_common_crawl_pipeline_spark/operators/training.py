@@ -237,3 +237,36 @@ def unigram_lm_score(
         "oov_ratio",
         round4(F.col("n_oov") / F.greatest(F.col("n_tok"), F.lit(1))),
     )
+
+
+def write_packed_shards(
+    packed: DataFrame,
+    path: str,
+    budget: int = 512,
+    seqs_per_shard: int = 1024,
+) -> DataFrame:
+    """Materialize a packed corpus (the output of ``pack_token_stream``)
+    as the on-disk training artifact: parquet partitioned by
+    ``shard_id = pack_id // seqs_per_shard``, so one shard directory
+    holds exactly ``seqs_per_shard`` consecutive training sequences
+    (≈ ``budget * seqs_per_shard`` tokens) and a dataloader pulls shard
+    k with PARTITION PRUNING — no full-corpus scan, the same
+    physical-layout story as the ANN partition-pruned index. Rows carry
+    ``start_off``, so in-shard stream order is one cheap bounded sort on
+    read (shards are written task-parallel; a global write-side sort
+    would serialize the sink for an ordering the reader re-derives in
+    O(shard) anyway). Documents straddling a shard boundary land in the
+    shard their FIRST token falls in (same rule as ``pack_id`` itself).
+    Returns the reloaded DataFrame.
+    """
+    spark = packed.sparkSession
+    with_shard = packed.withColumn(
+        "shard_id",
+        F.floor(F.col("pack_id") / F.lit(seqs_per_shard)).cast("long"),
+    )
+    (
+        with_shard.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -358,3 +358,63 @@ def test_unigram_lm_score_case_folds_and_partition_invariant(spark):
     assert a == b
     # case folding: Tok/tok/TOK are one vocab entry with freq 90
     assert a[0]["sum_freq"] >= 270
+
+
+# ---------------------------------------------------------------------------
+# packed-shard sink (operators/training.py::write_packed_shards)
+# ---------------------------------------------------------------------------
+
+
+def test_write_packed_shards_roundtrip_and_pruning(spark, tmp_path):
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        pack_token_stream,
+        write_packed_shards,
+    )
+
+    docs = [(i, 3 + (i * 7) % 5) for i in range(200)]  # (doc_id, n_tok)
+    df = spark.createDataFrame(docs, ["doc_id", "n_tok"])
+    cache = []
+    packed = pack_token_stream(
+        df, ["doc_id"], "n_tok", budget=10, cache=cache
+    )
+    expected = {tuple(r) for r in packed.collect()}
+
+    out = write_packed_shards(
+        packed, str(tmp_path / "shards"), budget=10, seqs_per_shard=4
+    )
+    got = {
+        (r["doc_id"], r["n_tok"], r["start_off"], r["pack_id"], r["straddles"])
+        for r in out.collect()
+    }
+    assert got == expected  # lossless round-trip
+
+    # shard assignment rule: first-token shard, = pack_id // seqs_per_shard
+    bad = out.filter(
+        F.col("shard_id") != F.floor(F.col("pack_id") / 4)
+    ).count()
+    assert bad == 0
+
+    # a dataloader's shard fetch is partition-PRUNED, not a full scan
+    plan = (
+        out.filter(F.col("shard_id") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "shard_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # in-shard stream order is one bounded sort on read: offsets within
+    # a shard, sorted by start_off, are contiguous (each next start ==
+    # prev start + prev n_tok) except across straddled boundaries where
+    # the stream continues exactly as well — i.e. global contiguity
+    # restricted to the shard's rows
+    rows = sorted(
+        out.filter(F.col("shard_id") == 0).collect(),
+        key=lambda r: r["start_off"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_off"] == a["start_off"] + a["n_tok"]
+    for c in cache:
+        c.unpersist()
