@@ -620,3 +620,162 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN suite's MEMORY story. IVF/LSH answer
+# "which rows do I look at"; PQ answers "how do 10^10 vectors fit" — each
+# 64-dim float vector compresses to m=8 4-bit codes (64 B → 4 B, 64×),
+# and query scanning runs over the compressed codes via an m×k lookup
+# table (asymmetric distance), touching the raw vectors only to rerank a
+# shortlist. Codebooks are fixed seeded Gaussians rounded to 4 decimals
+# (the ivf_centroids trade: deterministic + embeddable as oracle
+# literals; production trains them with the train_ivf_centroids
+# machinery per subspace).
+# ---------------------------------------------------------------------------
+
+PQ_SEED = 41
+
+
+def pq_codebooks(
+    m: int = 8, k: int = 16, subdim: int = 8, seed: int = PQ_SEED
+) -> list[list[list[float]]]:
+    """``m`` per-subspace codebooks of ``k`` centroids × ``subdim`` dims,
+    round4 literals (identical in the Spark plan and the DuckDB oracle)."""
+    rnd = random.Random(seed)
+    return [
+        [
+            [round(rnd.gauss(0.0, 1.0), 4) for _ in range(subdim)]
+            for _ in range(k)
+        ]
+        for _ in range(m)
+    ]
+
+
+def _subspace_dists(vec: Column, j: int, cb: list[list[float]]) -> Column:
+    """array of round4(Σ_i (v[j·subdim+i] − c_i)²) for every centroid c
+    of subspace j's codebook — one 8-element zip_with fold PER CENTROID
+    (k small folds). The two tempting alternatives both lose, measured
+    at sf0.1: unrolling into per-element column chains blows up
+    Catalyst (the CLAUDE.md 128-node negative result), and folding all
+    k distances in ONE pass with a k-field struct accumulator is ~3×
+    SLOWER — the interpreted fold rebuilds the 16-field struct on every
+    step, which costs far more than the k subvector re-walks it saves.
+    (The round-4 one-fold-returning-a-struct lesson applies to a few
+    OUTPUT stats over one array, not to a k-wide accumulator.)"""
+    subdim = len(cb[0])
+    sub = F.slice(vec, j * subdim + 1, subdim)
+    dists = []
+    for cent in cb:
+        clit = F.array(*[F.lit(float(x)) for x in cent])
+        dists.append(
+            round4(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        clit,
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        )
+    return F.array(*dists)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``pq_code`` (array<int>, length m; code_j = argmin_c of the
+    round4 subspace L2² distance, ties → smallest c) and ``pq_word``
+    (the codes packed little-endian into one BIGINT at 4 bits/code —
+    the column a 10^10-row compressed layout actually stores). Pure
+    Column arithmetic over one scan: no UDF, no shuffle, and the argmin
+    is ``array_position(dists, array_min(dists)) − 1`` so the
+    first-minimum tie rule is explicit and engine-portable."""
+    if codebooks is None:
+        codebooks = pq_codebooks()
+    k = len(codebooks[0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        dists = _subspace_dists(F.col(vec_col), j, cb)
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    code_arr = F.array(*codes)
+    word = F.lit(0).cast("long")
+    for j in range(len(codebooks)):
+        word = word + (codes[j].cast("long") * F.lit(int(k) ** j))
+    return df.withColumn("pq_code", code_arr).withColumn("pq_word", word)
+
+
+def pq_adc_table(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """The asymmetric-distance lookup table: LUT[j][c] =
+    round4(Σ_i (q[j·subdim+i] − w_i)²), computed driver-side with the
+    exact left-to-right double accumulation of ``_subdist``'s JVM fold
+    (the _py_norm discipline) — m×k floats of metadata, baked as
+    literals into both engines' scan expressions."""
+    lut = []
+    subdim = len(codebooks[0][0])
+    for j, cb in enumerate(codebooks):
+        row = []
+        for cent in cb:
+            acc = 0.0
+            for i, w in enumerate(cent):
+                d = float(query_vec[j * subdim + i]) - float(w)
+                acc = acc + d * d
+            row.append(_py_round4(acc))
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search, the full production shape: (1) encode + ADC scan —
+    per row, the approximate distance is m lookup-table reads summed
+    left-to-right (all literals; at 10^10 rows this pass reads ONLY the
+    4-byte codes), (2) deterministic TakeOrdered ``shortlist`` by
+    (adist asc, id), (3) exact round4-cosine rerank of the shortlist
+    rows ONLY (the raw vectors for ≤``shortlist`` ids — a broadcast
+    semi-join, never a full-vector scan) → top ``k`` by (cos desc, id).
+    Returns (id, adist, cos)."""
+    if codebooks is None:
+        codebooks = pq_codebooks()
+    lut = pq_adc_table(query_vec, codebooks)
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    adist = F.lit(0.0)
+    for j, row in enumerate(lut):
+        lut_arr = F.array(*[F.lit(float(v)) for v in row])
+        adist = adist + F.element_at(
+            lut_arr, F.element_at(F.col("pq_code"), j + 1) + 1
+        )
+    # round4 the summed ADC distance: the 8 addends are round4 literals
+    # on both engines, but the SUM order is fold-vs-aggregate — absorb
+    # the ulp before it can flip an ORDER BY comparison at the
+    # shortlist boundary
+    short = (
+        enc.select(F.col(id_col), round4(adist).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    rerank = df.join(F.broadcast(short), id_col)
+    scored = cosine_scores(rerank, list(query_vec), vec_col=vec_col)
+    return (
+        scored.select(id_col, "adist", "cos")
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

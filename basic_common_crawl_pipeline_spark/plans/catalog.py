@@ -2104,6 +2104,128 @@ def ann_cosine_topk_ivf_partitioned(spark, sf_dir):
     )
 
 
+# --- product quantization: the compressed-domain ANN path ------------------
+
+_PQ_CB = similarity.pq_codebooks()  # m=8 subspaces × k=16 × subdim=8
+
+_SQL_PQ_CB = ", ".join(
+    f"({j}, {c}, [{', '.join(repr(float(x)) for x in w)}])"
+    for j, cb in enumerate(_PQ_CB)
+    for c, w in enumerate(cb)
+)
+
+_SQL_PQ_SUBDIST = (
+    "sum((CAST(e.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i])"
+    " * (CAST(e.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i]))"
+)
+
+# per-(vec, subspace) argmin code with the explicit first-minimum tie
+# rule (min dist, then min c) — mirrors array_position(arr, array_min)
+_SQL_PQ_CODES = f"""
+    cb AS (SELECT * FROM (VALUES {_SQL_PQ_CB}) cb(j, c, w)),
+    pd AS (
+      SELECT e.vec_id, cb.j, cb.c, {_r4(_SQL_PQ_SUBDIST)} AS dist
+      FROM embeddings e
+      CROSS JOIN cb
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS i) s
+      GROUP BY e.vec_id, cb.j, cb.c
+    ),
+    pmin AS (SELECT vec_id, j, min(dist) AS md FROM pd GROUP BY vec_id, j),
+    pcodes AS (
+      SELECT pd.vec_id, pd.j, min(pd.c) AS code
+      FROM pd JOIN pmin
+        ON pd.vec_id = pmin.vec_id AND pd.j = pmin.j AND pd.dist = pmin.md
+      GROUP BY pd.vec_id, pd.j
+    )
+"""
+
+_SQL_PQ_WORD = " + ".join(f"CAST(c{j} AS BIGINT) * {16 ** j}" for j in range(8))
+
+
+@register(
+    "ann_pq_encode",
+    f"""
+    WITH {_SQL_PQ_CODES},
+    pv AS (
+      SELECT vec_id,
+             {", ".join(f"max(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(8))}
+      FROM pcodes GROUP BY vec_id
+    )
+    SELECT vec_id, {", ".join(f"c{j}" for j in range(8))},
+           CAST({_SQL_PQ_WORD} AS BIGINT) AS pq_word
+    FROM pv
+    """,
+)
+def ann_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py::
+    pq_encode) — the ANN suite's memory story: each 64-dim vector
+    compresses to 8 4-bit subspace codes (64 B → 4 B) packed into one
+    BIGINT, the column a 10^10-row compressed layout stores. Pure
+    Column arithmetic: 8×16 8-element JVM folds per row (never the
+    unrolled-chain negative result), argmin via
+    array_position(array_min) with the explicit smallest-code tie
+    rule."""
+    emb = load(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(emb, _PQ_CB)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("pq_code"), j + 1).alias(f"c{j}")
+            for j in range(8)
+        ],
+        "pq_word",
+    )
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH {_SQL_PQ_CODES},
+    qe AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+    lutd AS (
+      SELECT cb.j, cb.c,
+             {_r4("sum((CAST(qe.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i]) * (CAST(qe.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i]))")} AS dist
+      FROM qe
+      CROSS JOIN cb
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS i) s
+      GROUP BY cb.j, cb.c
+    ),
+    adc AS (
+      SELECT p.vec_id, {_r4("sum(l.dist)")} AS adist
+      FROM pcodes p JOIN lutd l ON p.j = l.j AND p.code = l.c
+      GROUP BY p.vec_id
+    ),
+    short AS (SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 50),
+    d AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      JOIN short ON e.vec_id = short.vec_id
+      CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id
+    )
+    SELECT d.vec_id, short.adist, {_r4("dot / (ne * nq)")} AS cos
+    FROM d JOIN short ON d.vec_id = short.vec_id
+    ORDER BY cos DESC, d.vec_id LIMIT 10
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """PQ search end to end (operators/similarity.py::pq_topk): ADC
+    scan over the compressed codes (per row: 8 lookup-table reads, all
+    literals — at 10^10 rows this pass touches ONLY the 4-byte codes),
+    deterministic shortlist-50 by (round4 adist, id), then exact-cosine
+    rerank of the shortlist rows only via a broadcast join. The oracle
+    recomputes the lookup table in SQL from the same baked codebooks —
+    driver-side and SQL LUTs agree by the _py_norm accumulation
+    discipline."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
+    return similarity.pq_topk(emb, list(qvec), _PQ_CB, k=10, shortlist=50)
+
+
 # ===========================================================================
 # F2. link-graph analytics (iterative): fixed-point PageRank
 # ===========================================================================
@@ -3056,6 +3178,11 @@ _RUN_LAST = [
     # double-green r2+r3, same textstats family text_quality keeps
     # in-gate, and pinned by tests/test_extract.py-adjacent unit tests.
     "text_langid",
+    # demoted for the PQ pair: text_training_filter supersets
+    # text_quality's feature columns in-gate; j3's broadcast-star shape
+    # is plan-pinned and j1/j2 keep the join family in-gate.
+    "text_quality",
+    "j3_star_join",
 ]
 
 

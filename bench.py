@@ -194,6 +194,7 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_cosine_topk_bucketed",
         "ann_cosine_topk_ivf",
+        "ann_pq_topk",
         "emb_neardup_pairs",
         "link_pagerank",
         "j5_range_join",

@@ -1016,3 +1016,98 @@ def test_semantic_dedup_hot_cluster_cap_keeps_members(spark):
     # with every cluster > 2 members excluded from pairing, nearly all
     # rows survive; crucially none are LOST
     assert out.filter("kept").count() >= out.count() - 2
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/similarity.py::pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _pq_ref_codes(vec, codebooks):
+    """Pure-Python twin of pq_encode: round4 of the left-to-right double
+    accumulation per (subspace, centroid), first-minimum tie rule."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        _py_round4,
+    )
+
+    subdim = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        dists = []
+        for cent in cb:
+            acc = 0.0
+            for i, w in enumerate(cent):
+                d = float(vec[j * subdim + i]) - float(w)
+                acc = acc + d * d
+            dists.append(_py_round4(acc))
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def _pq_corpus(n=120, seed=3):
+    import random as _r
+
+    rnd = _r.Random(seed)
+    return [
+        (i, [round(rnd.gauss(0.0, 1.0), 4) for _ in range(64)])
+        for i in range(n)
+    ]
+
+
+def test_pq_encode_matches_python_reference(spark):
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks()
+    rows = _pq_corpus()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (list(r["pq_code"]), r["pq_word"])
+        for r in pq_encode(df, cb).collect()
+    }
+    for vec_id, vec in rows:
+        ref = _pq_ref_codes(vec, cb)
+        word = sum(c * 16**j for j, c in enumerate(ref))
+        assert got[vec_id] == (ref, word), vec_id
+    # partition invariance
+    got7 = {
+        r["vec_id"]: (list(r["pq_code"]), r["pq_word"])
+        for r in pq_encode(df.repartition(7), cb).collect()
+    }
+    assert got7 == got
+
+
+def test_pq_topk_recall_after_rerank(spark):
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rows = _pq_corpus()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qvec = rows[5][1]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    true_top = [
+        i
+        for i, _ in sorted(
+            ((i, cos(v, qvec)) for i, v in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+    ]
+    got = [r["vec_id"] for r in pq_topk(df, qvec, k=10, shortlist=50).collect()]
+    # deterministic fixture → recall is a constant of the seeds; the
+    # exact-rerank stage means every returned id's cosine is exact, so
+    # the only loss is shortlist misses. Pin a conservative floor.
+    recall = len(set(got) & set(true_top)) / 10
+    assert recall >= 0.5, (recall, got, true_top)
+    # the query point itself always survives ADC (distance ~0 to its
+    # own codes) and reranks to the top
+    assert got[0] == 5

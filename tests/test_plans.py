@@ -446,3 +446,14 @@ def test_training_ops_physical_plans(spark):
     p = _plan(QUERIES["text_lm_quality"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # PQ encode is a narrow compressed-encoding map: no shuffle, no UDF
+    p = _plan(QUERIES["ann_pq_encode"](spark, SF))
+    assert "Exchange" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    # PQ search: ADC shortlist via TakeOrderedAndProject over the codes,
+    # raw vectors touched only through the broadcast rerank join
+    p = _plan(QUERIES["ann_pq_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
