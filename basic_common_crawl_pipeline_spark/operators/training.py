@@ -270,3 +270,39 @@ def write_packed_shards(
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+def source_mix_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    token_col: str = "n_tok",
+) -> DataFrame:
+    """Data-mixing statistics (the Dolma/Pile source-weighting step):
+    per source, document count, exact BIGINT token mass, its round4
+    share of the corpus, and the uniform-target resampling weight
+    ``round4((total/n_sources) / source_tokens)`` — the multiplier that
+    would equalize token mass across sources. One hash-aggregate to
+    #sources rows, then the (tiny) totals broadcast back — corpus
+    scanned once, text never moves."""
+    per_source = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tok"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tok").alias("__tot"),
+        F.count("*").alias("__ns"),
+    )
+    from ..functions.numeric import round4
+
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tok",
+            round4(F.col("n_tok") / F.col("__tot")).alias("tok_share"),
+            round4(
+                (F.col("__tot") / F.col("__ns")) / F.col("n_tok")
+            ).alias("mix_weight"),
+        )
+    )

@@ -1329,6 +1329,36 @@ def text_lm_quality(spark, sf_dir):
     return unigram_lm_score(docs, vocab_size=16)
 
 
+@register(
+    "text_domain_mix",
+    f"""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({SQL_TOKS})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tok) AS tot, count(*) AS ns FROM t)
+    SELECT source, n_docs, n_tok,
+           {_r4("n_tok / tot")} AS tok_share,
+           {_r4("(tot / ns) / n_tok")} AS mix_weight
+    FROM t CROSS JOIN tot
+    """,
+)
+def text_domain_mix(spark, sf_dir):
+    """Source-mixing statistics (operators/training.py::
+    source_mix_stats) — the Dolma/Pile data-mixing step: per-source doc
+    counts, exact token mass, corpus share, and the uniform-target
+    resampling weight. One aggregate to #sources rows + a broadcast of
+    the one-row totals."""
+    from ..operators.training import source_mix_stats
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", ts.token_count("text").cast("long").alias("n_tok")
+    )
+    return source_mix_stats(toks)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -3183,6 +3213,9 @@ _RUN_LAST = [
     # is plan-pinned and j1/j2 keep the join family in-gate.
     "text_quality",
     "j3_star_join",
+    # demoted for text_domain_mix: batcher_slice runs the full
+    # S1→P1→P2→F* chain in-gate; p2's canonical parse is its prefix.
+    "p2_parse_cdx_eligible",
 ]
 
 
