@@ -130,17 +130,12 @@ def _cap_cells(
     return banded.join(F.broadcast(hot_cells), list(keys), "left_anti")
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 2,
-    cell_cap: int | None = 100_000,
+def banded_signatures(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature (bands × rows_per_band columns) and equi-join on
-    (band_id, band_key) → candidate pairs (a < b), distinct. Cells over
-    ``cell_cap`` are dropped first (``_cap_cells``); the default is far
-    above anything the gate corpora produce, so oracle equality is
-    unaffected while a 100-TB hot band stays bounded."""
+    """(id, band_id, band_key): one row per (document, band) — the LSH
+    bucket table every candidate join (self- or cross-corpus) equi-joins
+    on."""
     band_structs = F.array(
         *[
             F.struct(
@@ -156,9 +151,23 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(band_structs).alias("band")
     ).select("id", "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    cell_cap: int | None = 100_000,
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band columns) and equi-join on
+    (band_id, band_key) → candidate pairs (a < b), distinct. Cells over
+    ``cell_cap`` are dropped first (``_cap_cells``); the default is far
+    above anything the gate corpora produce, so oracle equality is
+    unaffected while a 100-TB hot band stays bounded."""
+    banded = banded_signatures(signatures, bands, rows_per_band)
     banded = _cap_cells(banded, cell_cap)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -221,6 +230,117 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, cell_cap)
     return jaccard_for_pairs(shingles, cands).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    cell_cap: int | None = 100_000,
+) -> DataFrame:
+    """Cross-snapshot dedup: check a NEW batch of documents against an
+    OLD (already-curated) corpus — the continuous-crawl shape. A fresh
+    Common-Crawl-style wave must be deduplicated against *everything
+    already collected*; re-clustering the whole 10^10-document corpus
+    per wave is not an option, so every join here probes the huge old
+    side with a broadcast of the small new wave (the ``decontaminate``
+    discipline: the fat side is scanned once per leg and its text never
+    shuffles).
+
+    Two legs, both new-vs-old only (within-batch duplicates are
+    ``exact_dedup``/``minhash_lsh_dedup``'s job):
+
+    - exact:   md5(norm_text) equality → earliest matching old id;
+    - near:    MinHash band cells of the new wave broadcast against the
+      old corpus's (precomputable) band table → candidate (new, old)
+      pairs → exact-Jaccard verify over old shingles *semi-joined down
+      to candidate ids first* (shuffle volume bounded by matches, not
+      by the old corpus).
+
+    Requires ids to be unique ACROSS both frames. Returns one row per
+    new document: (id, exact_old_id, near_old_id, n_near, best_jaccard,
+    keep) — nullable match columns, ``keep`` ∈ {0,1} BIGINT. At 100-TB
+    scale the old side's signatures/bands are written once per snapshot
+    and only appended to; ``minhash_signatures``/``banded_signatures``
+    are the materialization points. Hot old-side band cells beyond
+    ``cell_cap`` are excluded from pairing (``_cap_cells``), bounding
+    the per-cell fan-out on boilerplate-heavy corpora."""
+    k = bands * rows_per_band
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(norm_text(text_col)).alias("fingerprint"),
+        )
+
+    new_fp, old_fp = fps(new_df), fps(old_df)
+    # old corpus scanned narrow (id, fingerprint) against a broadcast
+    # hash of the wave's distinct fingerprints; matches are ≤ wave-sized
+    exact = (
+        old_fp.join(
+            F.broadcast(new_fp.select("fingerprint").distinct()), "fingerprint"
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("exact_old_id"))
+    )
+
+    new_sh = shingle_table(new_df, id_col, text_col, shingle_n)
+    old_sh = shingle_table(old_df, id_col, text_col, shingle_n)
+    banded_new = banded_signatures(minhash_signatures(new_sh, k), bands, rows_per_band)
+    banded_old = _cap_cells(
+        banded_signatures(minhash_signatures(old_sh, k), bands, rows_per_band),
+        cell_cap,
+    )
+    cand = (
+        banded_old.join(
+            F.broadcast(
+                banded_new.select(
+                    F.col("id").alias("a"), "band_id", "band_key"
+                )
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("a", F.col("id").alias("b"))
+        .distinct()
+    )
+    # restrict old shingles to candidate ids BEFORE the Jaccard join —
+    # the verify shuffle carries matched documents only
+    old_sh_cand = old_sh.join(
+        F.broadcast(cand.select(F.col("b").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    )
+    near = (
+        jaccard_for_pairs(new_sh.unionByName(old_sh_cand), cand)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("a")
+        .agg(
+            F.min("b").alias("near_old_id"),
+            F.count("*").alias("n_near"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        new_fp.join(F.broadcast(exact), "fingerprint", "left")
+        .join(
+            F.broadcast(near.withColumnRenamed("a", "id")), "id", "left"
+        )
+        .select(
+            "id",
+            "exact_old_id",
+            "near_old_id",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            "best_jaccard",
+            (F.col("exact_old_id").isNull() & F.col("near_old_id").isNull())
+            .cast("long")
+            .alias("keep"),
+        )
     )
 
 

@@ -1567,6 +1567,104 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _mh_side_sql(src: str, p: str) -> str:
+    """Per-side shingle→signature→band CTEs (same arithmetic as
+    _MINHASH_CTES, parameterized by source table) for the cross-snapshot
+    incremental-dedup oracle."""
+    return f"""{p}sh AS (
+      SELECT DISTINCT doc_id AS id, s.shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len({SQL_TOKS}) - 2, 0) + 1),
+                 i -> array_to_string(list_slice({SQL_TOKS}, i, i + 2), ' ')))
+               AS shingle
+        FROM {src}
+      ) s(doc_id, shingle)
+    ),
+    {p}sig AS (
+      SELECT id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+             min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+      FROM {p}sh GROUP BY id
+    ),
+    {p}banded AS (
+      SELECT id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM {p}sig
+      UNION ALL SELECT id, 1, mh_2 || '|' || mh_3 FROM {p}sig
+      UNION ALL SELECT id, 2, mh_4 || '|' || mh_5 FROM {p}sig
+      UNION ALL SELECT id, 3, mh_6 || '|' || mh_7 FROM {p}sig
+    )"""
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    nfp AS (SELECT doc_id AS id, md5({SQL_NORM}) AS fingerprint FROM newd),
+    ofp AS (SELECT doc_id AS id, md5({SQL_NORM}) AS fingerprint FROM oldd),
+    exact AS (
+      SELECT o.fingerprint, min(o.id) AS exact_old_id
+      FROM ofp o
+      JOIN (SELECT DISTINCT fingerprint FROM nfp) nf USING (fingerprint)
+      GROUP BY o.fingerprint
+    ),
+    {_mh_side_sql('newd', 'n')},
+    {_mh_side_sql('oldd', 'o')},
+    cand AS (
+      SELECT DISTINCT nb.id AS a, ob.id AS b
+      FROM nbanded nb JOIN obanded ob
+        ON nb.band_id = ob.band_id AND nb.band_key = ob.band_key
+    ),
+    nsizes AS (SELECT id, count(*) AS n FROM nsh GROUP BY id),
+    osizes AS (SELECT id, count(*) AS n FROM osh GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN nsh sa ON sa.id = c.a
+      JOIN osh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    ),
+    near AS (
+      SELECT i.a,
+             min(i.b) AS near_old_id,
+             count(*) AS n_near,
+             max({_r4("i.n_inter / (za.n + zb.n - i.n_inter)")}) AS best_jaccard
+      FROM inter i
+      JOIN nsizes za ON za.id = i.a
+      JOIN osizes zb ON zb.id = i.b
+      WHERE {_r4("i.n_inter / (za.n + zb.n - i.n_inter)")} >= 0.2
+      GROUP BY i.a
+    )
+    SELECT f.id,
+           e.exact_old_id,
+           nr.near_old_id,
+           coalesce(nr.n_near, 0)::BIGINT AS n_near,
+           nr.best_jaccard,
+           (CASE WHEN e.exact_old_id IS NULL AND nr.near_old_id IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM nfp f
+    LEFT JOIN exact e USING (fingerprint)
+    LEFT JOIN near nr ON nr.a = f.id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Cross-snapshot dedup: a fresh crawl wave (doc_id % 3 = 0) checked
+    against the already-collected corpus (the rest) — exact fingerprint
+    + MinHash-LSH near-dup legs, every join probing the big old side
+    with a broadcast of the small wave (operators/dedup.py::
+    incremental_dedup). The continuous-crawl complement of
+    dedup_minhash_lsh's within-corpus pass."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(
+        new, old, "doc_id", "text",
+        shingle_n=3, bands=4, rows_per_band=2, threshold=0.2,
+    )
+
+
 def _lp_rounds_sql(rounds: int) -> str:
     out, prev = [], "l0"
     for i in range(1, rounds + 1):
@@ -3216,6 +3314,11 @@ _RUN_LAST = [
     # demoted for text_domain_mix: batcher_slice runs the full
     # S1→P1→P2→F* chain in-gate; p2's canonical parse is its prefix.
     "p2_parse_cdx_eligible",
+    # demoted for dedup_incremental: double-green r2+r3, and the ANN
+    # cosine family keeps THREE scale variants in-gate (partitioned,
+    # ivf, ivf_partitioned) plus the PQ pair — the bucketed probe shape
+    # is the least informative of the family.
+    "ann_cosine_topk_bucketed",
 ]
 
 

@@ -1111,3 +1111,59 @@ def test_pq_topk_recall_after_rerank(spark):
     # the query point itself always survives ADC (distance ~0 to its
     # own codes) and reranks to the top
     assert got[0] == 5
+
+
+def test_incremental_dedup_cross_snapshot(spark):
+    """Cross-snapshot wave-vs-corpus dedup (operators/dedup.py::
+    incremental_dedup): a new doc that exactly duplicates an old doc is
+    dropped with both legs firing (jaccard 1.0 near-match included); a
+    near-duplicate (one token changed) is dropped by the near leg only;
+    a genuinely new doc keeps; and two new docs that duplicate EACH
+    OTHER but nothing old both keep — within-batch dedup is explicitly
+    out of scope (exact_dedup / minhash_lsh_dedup's job)."""
+    from basic_common_crawl_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    old = spark.createDataFrame(
+        [
+            (100, base),
+            (101, "completely different words about spark and parquet files"),
+            (102, base),  # second copy: exact leg must pick min old id
+        ],
+        ["doc_id", "text"],
+    )
+    twin = "twin document repeated inside the new batch only never seen before"
+    new = spark.createDataFrame(
+        [
+            (1, "the  quick brown fox jumps over the lazy dog again and again today "),
+            (2, near),
+            (3, "a genuinely novel document with entirely fresh vocabulary here"),
+            (4, twin),
+            (5, twin),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in incremental_dedup(new, old, threshold=0.5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # exact dup (whitespace-normalized): both legs, min old id, dropped
+    assert out[1].exact_old_id == 100
+    assert out[1].near_old_id == 100
+    assert out[1].best_jaccard == 1.0
+    assert out[1].keep == 0
+    # near dup: exact leg misses, near leg hits with jaccard in (0.5, 1)
+    assert out[2].exact_old_id is None
+    assert out[2].near_old_id == 100
+    assert 0.5 < out[2].best_jaccard < 1.0
+    assert out[2].n_near >= 1
+    assert out[2].keep == 0
+    # novel doc keeps with empty match columns
+    assert out[3].exact_old_id is None and out[3].near_old_id is None
+    assert out[3].n_near == 0 and out[3].keep == 1
+    # within-batch twins: no old match -> BOTH keep
+    assert out[4].keep == 1 and out[5].keep == 1
