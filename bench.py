@@ -274,6 +274,30 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # sum reassembled length + span stats: forces the window mark, the
+    # island merge, and the per-doc reassembly (a bare count would
+    # prune all three).
+    timed(
+        "text_span_dedup",
+        lambda: q["text_span_dedup"](spark, sf_dir)
+        .agg(
+            F.sum(F.length("text_deduped")),
+            F.sum("n_spans"),
+            F.sum("n_dup_tokens"),
+        )
+        .collect(),
+        trials=2,
+    )
+    # sum keep/n_near/best_jaccard: forces BOTH legs (exact fingerprint
+    # join and the LSH candidate→Jaccard-verify chain) — keep alone
+    # would let the near-leg aggregates be pruned.
+    timed(
+        "dedup_incremental",
+        lambda: q["dedup_incremental"](spark, sf_dir)
+        .agg(F.sum("keep"), F.sum("n_near"), F.sum("best_jaccard"))
+        .collect(),
+        trials=2,
+    )
     timed(
         "text_pii_redact",
         lambda: q["text_pii_redact"](spark, sf_dir)

@@ -1167,3 +1167,47 @@ def test_incremental_dedup_cross_snapshot(spark):
     assert out[3].n_near == 0 and out[3].keep == 1
     # within-batch twins: no old match -> BOTH keep
     assert out[4].keep == 1 and out[5].keep == 1
+
+
+def test_span_dedup_semantics(spark):
+    """Exact duplicate-span removal (operators/dedup.py::span_dedup):
+    the globally-first occurrence of a duplicated 5-gram window is kept;
+    later occurrences are removed with overlapping windows merged into
+    one maximal span; a fully-duplicated document reassembles to '';
+    within-doc repeats drop the second copy; unique docs are untouched."""
+    from basic_common_crawl_pipeline_spark.operators.dedup import span_dedup
+
+    rows = [
+        (1, "A B C D E F x y z"),          # first occurrence: kept whole
+        (2, "p q A B C D E F r"),          # shares 6-token phrase -> one span
+        (3, "A B C D E F x y z"),          # full duplicate of doc 1 -> ''
+        (4, "m n o p q m n o p q"),        # within-doc repeat -> second half
+        (5, "totally unique words that appear nowhere else at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1 is the first occurrence of every shared window: untouched
+    assert out[1].text_deduped == "A B C D E F x y z"
+    assert out[1].n_spans == 0 and out[1].n_dup_tokens == 0
+    # doc 2: windows at pos 2 ("A B C D E") and pos 3 ("B C D E F")
+    # duplicate doc 1's pos-0/pos-1 windows; merged span covers tokens
+    # 2..7 -> "p q ... r" survives as one 3-token doc
+    assert out[2].text_deduped == "p q r"
+    assert out[2].n_spans == 1
+    assert out[2].n_dup_tokens == 6 and out[2].n_kept == 3
+    # doc 3: every window duplicates doc 1 -> all 9 tokens covered
+    assert out[3].text_deduped == ""
+    assert out[3].n_spans == 1 and out[3].n_kept == 0
+    assert out[3].n_tokens == 9 and out[3].n_dup_tokens == 9
+    # doc 4: "m n o p q" repeats at pos 5 within the SAME doc -> the
+    # second copy is the duplicate; first stays
+    assert out[4].text_deduped == "m n o p q"
+    assert out[4].n_spans == 1 and out[4].n_dup_tokens == 5
+    # unique doc untouched
+    assert out[5].n_spans == 0
+    assert out[5].text_deduped == rows[4][1]
