@@ -306,3 +306,84 @@ def source_mix_stats(
             ).alias("mix_weight"),
         )
     )
+
+
+def nb_quality_classifier(
+    corpus: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Trained quality classifier — the GPT-3/CCNet discipline of fitting
+    a cheap linear text classifier on a SEED labeling (curated positives
+    vs crawl negatives) and applying it to the whole corpus. ``labels``
+    is the training subset: one row per labeled doc, ``label_col`` ∈
+    {0,1}. Scores every corpus document and returns one row per doc:
+    ``(id, n_tok, n_hits, score_int, predict)``.
+
+    The per-token weight is the smoothed class-posterior odds, kept in
+    the repo's INTEGER-exact score domain (the ``unigram_lm_score``
+    rule: a float log-likelihood would be engine-divergent at the ulp):
+    ``w(tok) = floor(10^4·(c1+1)/(c1+c0+2) + 0.5) − 5000`` where c1/c0
+    are the token's occurrence counts in positive/negative training
+    docs — an integer in [−5000, 5000], positive iff the token skews
+    positive. ``score_int`` is the exact BIGINT sum over the document's
+    token occurrences (order-independent), ``predict = score_int > 0``.
+    Swap the weight formula for true log-likelihood ratios in
+    production, where cross-engine bit-equality is not a constraint.
+
+    Scale shape (100 TB): training tokens join the (small) label table
+    on the unique doc id, count-aggregate by token with map-side
+    combine, and the top-``vocab_size`` weight table (count desc, token
+    asc — deterministic at the boundary) is TakeOrdered'd and BROADCAST
+    into the scoring pass — the corpus text never shuffles; only
+    (doc_id, token) pairs flow into the per-doc aggregate on the unique
+    id. No driver-side scalars anywhere: the weight needs only the
+    token's own counts, so the whole fit is one aggregation."""
+
+    def toks(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+            )
+            .filter(F.col("__t") != "")
+            .select(id_col, F.lower("__t").alias("__tok"))
+        )
+
+    corpus_toks = toks(corpus)
+    train_toks = corpus_toks.join(
+        labels.select(id_col, F.col(label_col).alias("__y")), id_col
+    )
+    weights = (
+        train_toks.groupBy("__tok")
+        .agg(
+            F.sum("__y").alias("__c1"),
+            F.sum(F.lit(1) - F.col("__y")).alias("__c0"),
+        )
+        .orderBy((F.col("__c1") + F.col("__c0")).desc(), "__tok")
+        .limit(vocab_size)
+        .select(
+            "__tok",
+            (
+                F.floor(
+                    F.lit(10_000)
+                    * (F.col("__c1") + 1)
+                    / (F.col("__c1") + F.col("__c0") + 2)
+                    + F.lit(0.5)
+                ).cast("long")
+                - 5_000
+            ).alias("__w"),
+        )
+    )
+    return (
+        corpus_toks.join(F.broadcast(weights), "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count(F.when(F.col("__w").isNotNull(), True)).alias("n_hits"),
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("score_int"),
+        )
+        .withColumn("predict", (F.col("score_int") > 0).cast("long"))
+    )

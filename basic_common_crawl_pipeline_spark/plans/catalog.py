@@ -1411,6 +1411,60 @@ def text_lm_quality(spark, sf_dir):
 
 
 @register(
+    "text_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    labels AS (
+      SELECT doc_id,
+             (CASE WHEN len({SQL_TOKS}) >= 50 THEN 1 ELSE 0 END) AS y
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    counts AS (
+      SELECT t.tok, sum(l.y) AS c1, sum(1 - l.y) AS c0
+      FROM toks t JOIN labels l USING (doc_id)
+      GROUP BY t.tok
+    ),
+    weights AS (
+      SELECT tok,
+             CAST(floor(10000 * (c1 + 1) / (c1 + c0 + 2) + 0.5) AS BIGINT)
+               - 5000 AS w
+      FROM counts ORDER BY (c1 + c0) DESC, tok LIMIT 4096
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tok,
+           count(w.w) AS n_hits,
+           CAST(coalesce(sum(w.w), 0) AS BIGINT) AS score_int,
+           CAST(CASE WHEN coalesce(sum(w.w), 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS predict
+    FROM toks t LEFT JOIN weights w ON t.tok = w.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (operators/training.py::
+    nb_quality_classifier) — the GPT-3/CCNet shape: a cheap linear
+    classifier fit on a SEED labeling (here the doc_id%4 subset with
+    the ≥50-token heuristic as labels — balanced on this corpus), then
+    applied to every document. Per-token weights are smoothed
+    class-posterior odds in the integer-exact domain (the
+    unigram_lm_score rule: no float logs cross-engine); the top-4096
+    vocabulary is broadcast into the scoring pass, so the corpus text
+    never shuffles."""
+    from ..operators.training import nb_quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        (ts.token_count("text") >= 50).cast("int").alias("label"),
+    )
+    return nb_quality_classifier(docs, labels, vocab_size=4096)
+
+
+@register(
     "text_domain_mix",
     f"""
     WITH t AS (
@@ -3405,6 +3459,11 @@ _RUN_LAST = [
     # stateful_user_totals, seen_dedup, decontaminate) — the windowed
     # agg is also pinned by the queue-stream pytests.
     "stream_windowed_events",
+    # demoted for text_quality_classifier: double-green r2+r3; the
+    # exact-dedup shape stays checked in-gate through
+    # dedup_incremental's exact-fingerprint leg, and exact_dedup's
+    # grouping semantics are pytest-pinned.
+    "dedup_exact_apply",
 ]
 
 

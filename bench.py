@@ -274,6 +274,15 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # sum score/hits: forces the train aggregate, the broadcast weight
+    # join, and the per-doc scoring sum.
+    timed(
+        "text_quality_classifier",
+        lambda: q["text_quality_classifier"](spark, sf_dir)
+        .agg(F.sum("score_int"), F.sum("n_hits"), F.sum("predict"))
+        .collect(),
+        trials=2,
+    )
     # sum reassembled length + span stats: forces the window mark, the
     # island merge, and the per-doc reassembly (a bare count would
     # prune all three).

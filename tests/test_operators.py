@@ -1211,3 +1211,49 @@ def test_span_dedup_semantics(spark):
     # unique doc untouched
     assert out[5].n_spans == 0
     assert out[5].text_deduped == rows[4][1]
+
+
+def test_nb_quality_classifier_learns_class_vocab(spark):
+    """Trained quality classifier (operators/training.py::
+    nb_quality_classifier): fit on a labeled seed subset, score the
+    whole corpus. Held-out docs written in the positive class's
+    vocabulary must score positive, negative-vocab docs negative, and a
+    doc with no training-vocabulary overlap scores exactly 0 (every
+    weight missing -> coalesce(0)). Weights live in the integer-exact
+    domain, so scores are exact BIGINTs."""
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        nb_quality_classifier,
+    )
+
+    good = "clear thoughtful prose with careful structured argument"
+    bad = "spam junk noise clickbait garbage keyword stuffing blob"
+    rows = (
+        [(i, good + f" variation {i}") for i in range(4)]
+        + [(10 + i, bad + f" variation {i}") for i in range(4)]
+        + [(20, "thoughtful careful structured writing here")]   # held-out +
+        + [(21, "junk clickbait garbage spam everywhere")]       # held-out -
+        + [(22, "zz qq xx yy ww vv")]                            # no overlap
+    )
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(4)] + [(10 + i, 0) for i in range(4)],
+        ["doc_id", "label"],
+    )
+    out = {
+        r.doc_id: r
+        for r in nb_quality_classifier(corpus, labels).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    # training docs classify correctly (their own vocab dominates)
+    for i in range(4):
+        assert out[i].predict == 1, out[i]
+        assert out[10 + i].predict == 0, out[10 + i]
+    # held-out docs follow the class vocabulary
+    assert out[20].predict == 1 and out[20].score_int > 0
+    assert out[21].predict == 0 and out[21].score_int < 0
+    # disjoint-vocab doc: zero hits, zero score, negative class
+    assert out[22].n_hits == 0 and out[22].score_int == 0
+    assert out[22].predict == 0
+    # shared token "variation i" carries weight 0 (balanced classes):
+    # floor(1e4 * (c+1)/(2c+2) + .5) - 5000 == 0 exactly
+    assert out[20].n_tok == 5
