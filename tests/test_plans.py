@@ -457,3 +457,31 @@ def test_training_ops_physical_plans(spark):
     p = _plan(QUERIES["ann_pq_topk"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_round4_continuation_physical_plans(spark):
+    """Scale contracts of the round-4 continuation ops, pinned:
+    span dedup marks duplicates with ONE window over the gram hash
+    (never a groupBy-firsts + join-back, which recomputes the
+    interpreted gram construction on both sides); incremental dedup
+    broadcasts the new-wave side into every join against the old corpus
+    (the fat side must never sort-merge) and keeps the hot-cell
+    LeftAnti guard + candidate-id LeftSemi restriction; the quality
+    classifier takes its weight table through TakeOrderedAndProject and
+    broadcasts it into the scoring join. All three stay JVM-side."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import QUERIES
+
+    p = _plan(QUERIES["text_span_dedup"](spark, SF))
+    assert "windowspecdefinition(__h" in p
+    assert "SortMergeJoin" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(QUERIES["dedup_incremental"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "LeftAnti" in p and "LeftSemi" in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(QUERIES["text_quality_classifier"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
