@@ -642,3 +642,184 @@ def span_dedup(
             ).alias("text_deduped"),
         )
     )
+
+
+def minhash_signature_cols(
+    text_col: str, shingle_n: int = 3, k: int = 8
+) -> F.Column:
+    """Per-ROW MinHash signature as an ``array<string>`` column — the
+    aggregation-free twin of ``minhash_signatures`` (same ``min md5(i|
+    shingle)`` arithmetic; min over an array equals min over the
+    grouped explode, duplicates included, since min ignores
+    multiplicity). Because it is a pure column expression it is legal
+    on a STREAMING DataFrame before any stateful operator — the reason
+    it exists. NULL elements for shingle-less (short) documents."""
+    sh = word_ngrams(text_col, shingle_n)
+
+    # NB: a two-parameter lambda (even `lambda s, i=i: ...`) makes
+    # PySpark pass the (element, index) form — the salt must close over
+    # i with a SINGLE-arg lambda or the index column shadows it.
+    def salted(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, salted(i))) for i in range(k)]
+    )
+
+
+def incremental_dedup_streaming(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming-legal cross-snapshot dedup: the continuous-curation
+    shape where a crawl wave ARRIVES AS A STREAM and is checked
+    against the static curated corpus in-flight. Differences from the
+    batch ``incremental_dedup`` dictated by the streaming model:
+
+    - the near leg verifies by MINHASH SIGNATURE AGREEMENT (fraction of
+      equal components, ``est_threshold``) instead of exact Jaccard —
+      exact verification needs a per-pair shingle-intersection
+      aggregate, i.e. TWO chained stateful aggregations, which
+      Structured Streaming does not allow; the signature estimate is
+      computable per candidate ROW from the two signature arrays;
+    - every stream row keeps flowing through stream-static LEFT joins
+      (the static side is the one that aggregates/broadcasts), and the
+      ONLY stateful operator is the final per-doc groupBy — drain with
+      ``output_mode="complete"``.
+
+    Works identically on a batch ``new_df`` (same plan, minus the
+    micro-batching), which is what the DuckDB oracle checks. Returns
+    one row per new doc: (id, exact_old_id, near_old_id, n_near,
+    best_est, keep)."""
+    k = bands * rows_per_band
+
+    exact_map = (
+        old_df.select(F.md5(norm_text(text_col)).alias("fingerprint"),
+                      F.col(id_col).alias("__oid"))
+        .groupBy("fingerprint")
+        .agg(F.min("__oid").alias("exact_old_id"))
+    )
+
+    def with_sig(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(norm_text(text_col)).alias("fingerprint"),
+            minhash_signature_cols(text_col, shingle_n, k).alias("sig"),
+        )
+
+    def banded(df: DataFrame, sig_alias: str) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            "id", F.col("sig").alias(sig_alias),
+            F.explode(band_structs).alias("band"),
+        ).select("id", sig_alias, "band.band_id", "band.band_key")
+
+    old_banded = (
+        banded(with_sig(old_df), "__osig")
+        .select(
+            F.col("id").alias("__b"), "__osig", "band_id", "band_key"
+        )
+        # shingle-less old docs carry band_key '' — never real matches
+        .filter(F.col("band_key") != "")
+    )
+
+    new_sig = with_sig(new_df).join(
+        exact_map, "fingerprint", "left"
+    )
+    # exact_old_id rides THROUGH the banding explode and folds back in
+    # the one aggregation: joining the aggregate against a second
+    # branch of the stream would be a (forbidden) stream-stream join.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    new_banded = new_sig.select(
+        "id",
+        "exact_old_id",
+        F.col("sig").alias("__nsig"),
+        F.explode(band_structs).alias("band"),
+    ).select("id", "exact_old_id", "__nsig", "band.band_id", "band.band_key")
+    cand = new_banded.join(
+        old_banded, ["band_id", "band_key"], "left"
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "__nsig",
+                "__osig",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k))
+    )
+    hit = F.when(est >= est_threshold, F.col("__b"))
+    scored = cand.select(
+        "id",
+        "exact_old_id",
+        hit.alias("__hit"),
+        F.when(hit.isNotNull(), round4(est)).alias("__est"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min("exact_old_id").alias("exact_old_id"),
+            F.min("__hit").alias("near_old_id"),
+            F.size(
+                F.array_distinct(
+                    F.filter(
+                        F.collect_list("__hit"), lambda x: x.isNotNull()
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_near"),
+            F.max("__est").alias("best_est"),
+        )
+        .select(
+            "id",
+            "exact_old_id",
+            "near_old_id",
+            "n_near",
+            "best_est",
+            (
+                F.col("exact_old_id").isNull()
+                & F.col("near_old_id").isNull()
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )

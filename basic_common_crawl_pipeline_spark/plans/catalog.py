@@ -1800,6 +1800,85 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+_EST_SUM = " + ".join(
+    f"(CASE WHEN ns.mh_{i} = os.mh_{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "stream_incremental_dedup",
+    f"""
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    nfp AS (SELECT doc_id AS id, md5({SQL_NORM}) AS fingerprint FROM newd),
+    ofp AS (SELECT doc_id AS id, md5({SQL_NORM}) AS fingerprint FROM oldd),
+    exact AS (
+      SELECT fingerprint, min(id) AS exact_old_id FROM ofp GROUP BY fingerprint
+    ),
+    {_mh_side_sql('newd', 'n')},
+    {_mh_side_sql('oldd', 'o')},
+    cand AS (
+      SELECT DISTINCT nb.id AS a, ob.id AS b
+      FROM nbanded nb JOIN obanded ob
+        ON nb.band_id = ob.band_id AND nb.band_key = ob.band_key
+    ),
+    est AS (
+      SELECT c.a, c.b, ({_EST_SUM}) / 8.0 AS e
+      FROM cand c
+      JOIN nsig ns ON ns.id = c.a
+      JOIN osig os ON os.id = c.b
+    ),
+    near AS (
+      SELECT a, min(b) AS near_old_id, count(*) AS n_near,
+             max({_r4("e")}) AS best_est
+      FROM est WHERE e >= 0.5 GROUP BY a
+    )
+    SELECT f.id,
+           x.exact_old_id,
+           nr.near_old_id,
+           coalesce(nr.n_near, 0)::BIGINT AS n_near,
+           nr.best_est,
+           (CASE WHEN x.exact_old_id IS NULL AND nr.near_old_id IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM nfp f
+    LEFT JOIN exact x USING (fingerprint)
+    LEFT JOIN near nr ON nr.a = f.id
+    """,
+)
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming cross-snapshot dedup — the crawl wave ARRIVES AS A
+    STREAM (4 real micro-batches through the file queue) and is checked
+    in-flight against the static curated corpus (operators/dedup.py::
+    incremental_dedup_streaming): per-row MinHash signatures (no
+    stateful op before the joins), stream-static left joins against the
+    corpus's exact-fingerprint map and band table, signature-agreement
+    verification per candidate row, ONE complete-mode aggregation. The
+    drained table equals the batch run of the same plan, which this
+    full DuckDB oracle recomputes."""
+    import tempfile
+    import uuid
+
+    from ..streaming.queue_stream import consume_batches, run_stream_to_memory
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    qdir = tempfile.mkdtemp(prefix="queue_wave_")
+    new.repartition(8).write.mode("overwrite").parquet(qdir)
+    stream = consume_batches(spark, qdir, new.schema, max_files_per_trigger=2)
+    flagged = dedup.incremental_dedup_streaming(
+        stream, old, "doc_id", "text",
+        shingle_n=3, bands=4, rows_per_band=2, est_threshold=0.5,
+    )
+    return run_stream_to_memory(
+        spark,
+        flagged,
+        f"incdedup_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode="complete",
+    )
+
+
 def _lp_rounds_sql(rounds: int) -> str:
     out, prev = [], "l0"
     for i in range(1, rounds + 1):
@@ -3464,6 +3543,11 @@ _RUN_LAST = [
     # dedup_incremental's exact-fingerprint leg, and exact_dedup's
     # grouping semantics are pytest-pinned.
     "dedup_exact_apply",
+    # demoted for stream_incremental_dedup: double-green r2+r3; the
+    # multimodal family keeps frames+features in-gate (features
+    # supersets the decode/resize plumbing) and the batch-shape pytest
+    # pins the Arrow row-expansion contract.
+    "multimodal_resize",
 ]
 
 

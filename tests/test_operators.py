@@ -1257,3 +1257,56 @@ def test_nb_quality_classifier_learns_class_vocab(spark):
     # shared token "variation i" carries weight 0 (balanced classes):
     # floor(1e4 * (c+1)/(2c+2) + .5) - 5000 == 0 exactly
     assert out[20].n_tok == 5
+
+
+def test_incremental_dedup_streaming_equals_batch(spark, tmp_path):
+    """The streaming-legal cross-snapshot dedup (operators/dedup.py::
+    incremental_dedup_streaming) drained over REAL micro-batches equals
+    the identical plan run on the batch input, and its semantics hold:
+    an exact duplicate of an old doc matches both legs with agreement
+    1.0, a near-duplicate matches the near leg only, novel docs keep."""
+    from basic_common_crawl_pipeline_spark.operators.dedup import (
+        incremental_dedup_streaming,
+    )
+    from basic_common_crawl_pipeline_spark.streaming.queue_stream import (
+        consume_batches,
+        run_stream_to_memory,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    old = spark.createDataFrame(
+        [(100, base), (101, "completely different words about spark files")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),
+            (2, near),
+            (3, "a genuinely novel document with fresh vocabulary"),
+            (4, "xy"),  # shingle-less: must never band-match
+        ],
+        ["doc_id", "text"],
+    )
+    batch = incremental_dedup_streaming(new, old).collect()
+    out = {r.id: r for r in batch}
+    assert out[1].exact_old_id == 100 and out[1].near_old_id == 100
+    assert out[1].best_est == 1.0 and out[1].keep == 0
+    assert out[2].exact_old_id is None and out[2].near_old_id == 100
+    assert 0.5 <= out[2].best_est < 1.0 and out[2].keep == 0
+    assert out[3].keep == 1 and out[4].keep == 1
+    assert out[4].n_near == 0
+
+    qdir = str(tmp_path / "wave")
+    new.repartition(4).write.parquet(qdir)
+    stream = consume_batches(spark, qdir, new.schema, max_files_per_trigger=1)
+    drained = run_stream_to_memory(
+        spark,
+        incremental_dedup_streaming(stream, old),
+        "incdedup_eq_test",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    ).collect()
+    assert sorted(map(tuple, drained), key=lambda t: t[0]) == sorted(
+        map(tuple, batch), key=lambda t: t[0]
+    )
