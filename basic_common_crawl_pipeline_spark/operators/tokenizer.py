@@ -1,0 +1,212 @@
+"""Distributed BPE tokenizer training + application (training-corpus
+additions; the reference stops at extraction — /root/reference/Readme.md:24
+— but token-level preparation is the step immediately downstream of every
+crawl pipeline, and vocabulary induction is its canonical distributed
+iterative job).
+
+Classic Sennrich-style byte-pair encoding, trained the way every
+production tokenizer trainer actually runs at corpus scale: NOT over the
+raw token stream but over the **distinct-word frequency table** (the Zipf
+collapse — a 100-TB corpus has ~10^8 distinct words, 5-6 orders smaller
+than its occurrence count), with each word's symbol sequence evolving in
+place and every pair count weighted by the word's corpus frequency.
+
+Scale shape (100 TB):
+
+- pass 0 is the word-frequency job — the ``text_vocab_topk`` plan:
+  explode → map-side-combined hash aggregate; the only shuffle that ever
+  touches per-occurrence data, and it carries one row per distinct word
+  per partition, not per occurrence. The resulting word table is
+  persisted once and is the ONLY distributed state the training loop
+  touches.
+- each merge round is (a) one tiny aggregation over the word table
+  (adjacent-pair explode → weighted count, map-side combined, ~|alphabet|²
+  candidate keys so the shuffle is bytes, not data) feeding a
+  deterministic global top-1 (count desc, pair asc — total order, so the
+  learned vocabulary is reproducible at any cluster size / partition
+  count), then (b) a NARROW per-row array fold applying the merge
+  greedily left-to-right — no shuffle, no Python, whole plan JVM-side.
+  One driver action per round collecting exactly one row (the same
+  cadence discipline as operators/graph.py's per-round convergence
+  check).
+- application (``bpe_segment_words``) never re-runs training: the final
+  symbol table (word → pieces) is broadcast back over the corpus, so
+  encoding the 100-TB corpus is one scan + a broadcast hash join on the
+  (unique, skew-free) word key.
+
+The greedy left-to-right single-pass merge is the standard BPE
+application rule; the fold below implements it with a carry accumulator
+(``prev`` = last uncommitted symbol), which handles the self-overlap case
+exactly: merging pair (l,l) over "l l l" yields [ll, l], never [l, ll].
+Everything stays in the cross-engine-exact integer/string domain, so the
+DuckDB oracle (window-function islands — see plans/catalog.py) matches
+hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import word_tokens
+
+
+def word_frequency_table(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """The Zipf-collapsed training input: (word, freq) over the corpus.
+    One explode + one map-side-combined hash aggregate; everything
+    downstream of this runs on distinct words only."""
+    toks = df.select(F.explode(word_tokens(text_col)).alias("__t")).filter(
+        F.col("__t") != ""
+    )
+    word = F.lower("__t") if lowercase else F.col("__t")
+    return toks.groupBy(word.alias("word")).agg(
+        F.count("*").cast("long").alias("freq")
+    )
+
+
+def _chars(col) -> F.Column:
+    """Symbol-sequence init: one single-character symbol per char.
+    ``split(word, '')`` yields ['a','b','c'] in both Spark and DuckDB
+    (ASCII corpora — TESTDATA.md pins documents text to pure ASCII, so
+    char == byte)."""
+    return F.split(col, "")
+
+
+def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right single-pass merge of adjacent pair (a, b)
+    into the symbol a||b — the standard BPE application rule, as one
+    JVM array fold (no shuffle, no Python). The accumulator carries the
+    last uncommitted symbol so a committed merge cannot chain into the
+    next occurrence: (l,l) over [l,l,l] → [ll, l]."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+        F.lit(False).alias("has_prev"),
+    )
+
+    def step(acc, s):
+        hit = acc["has_prev"] & (acc["prev"] == a) & (s == b)
+        out = F.when(
+            hit, F.concat(acc["out"], F.array(F.lit(merged)))
+        ).otherwise(
+            F.when(
+                acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
+            ).otherwise(acc["out"])
+        )
+        return F.struct(
+            out.alias("out"),
+            F.when(hit, F.lit("")).otherwise(s).alias("prev"),
+            (~hit).alias("has_prev"),
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"]),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+    cache: list | None = None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``num_merges`` BPE merge rules on the corpus. Returns
+    ``(merges, words)`` where ``merges`` is the learned rule list
+    ``[(rank, left, right, freq), ...]`` in application order (freq =
+    the pair's weighted occurrence count when it was chosen) and
+    ``words`` is the persisted word table with the FINAL symbol column
+    ``syms`` — the broadcast-ready segmentation dictionary for
+    ``bpe_segment_words``.
+
+    ``words`` is persisted internally (the loop re-scans it every
+    round); pass ``cache`` to take ownership of the unpersist, same
+    convention as operators/training.py::pack_token_stream."""
+    wf = (
+        word_frequency_table(df, text_col)
+        .withColumn("syms", _chars(F.col("word")))
+        .persist()
+    )
+    if cache is not None:
+        cache.append(wf)
+
+    merges: list[tuple[int, str, str, int]] = []
+    syms = F.col("syms")
+    for rank in range(1, num_merges + 1):
+        # adjacent pairs of the CURRENT symbol sequences, weighted by
+        # word frequency; ~|alphabet + learned|² keys → tiny shuffle
+        cur = wf.withColumn("__s", syms)
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("__s") >= 2,
+                        F.zip_with(
+                            F.slice(F.col("__s"), 1, F.size("__s") - 1),
+                            F.slice(F.col("__s"), 2, F.size("__s") - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<a:string,b:string>>"
+                        )
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        top = pairs.collect()  # exactly one tiny row per round
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        syms = _merge_fold(syms, a, b)
+
+    words = wf.withColumn("syms", syms).select("word", "freq", "syms")
+    return merges, words
+
+
+def bpe_segment_words(
+    corpus: DataFrame,
+    words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a trained segmentation dictionary (``bpe_train``'s second
+    return — word → final symbol sequence) to a corpus: one scan, one
+    broadcast hash join on the unique word key, one per-doc aggregate.
+    Returns one row per document: ``(id, n_words, n_pieces,
+    max_word_pieces)`` — total word occurrences, total BPE pieces after
+    segmentation, and the worst per-word fragmentation (an OOV-ish
+    signal: unseen character patterns stay many pieces long)."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    word = F.lower("__t") if lowercase else F.col("__t")
+    dict_df = words.select(
+        "word", F.size("syms").cast("long").alias("__np")
+    )
+    return (
+        toks.select(id_col, word.alias("word"))
+        .join(F.broadcast(dict_df), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__np").cast("long").alias("n_pieces"),
+            F.max("__np").cast("long").alias("max_word_pieces"),
+        )
+    )

@@ -3465,6 +3465,275 @@ def crawl_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/tokenizer.py). The DuckDB oracle
+# re-derives each merge round declaratively: the greedy left-to-right
+# single-pass merge is equivalent to "mark every adjacent (a,b) match,
+# group consecutive matches into islands, merge at even island offsets"
+# (overlap is only possible when a == b, where greedy takes alternating
+# positions from the island start). Each round is one windowed CTE block
+# chained off the previous round's symbol rows; the literal k below and
+# operators/tokenizer.py's num_merges move in lockstep.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+_BPE_BASE = f"""
+    w AS (
+      SELECT lower(t) AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents)
+      WHERE t <> '' GROUP BY lower(t)
+    ),
+    s1 AS (
+      SELECT word, freq,
+             unnest(range(0, length(word))) AS pos,
+             unnest(string_split(word, '')) AS sym
+      FROM w
+    )"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE merge round: s{r} -> top{r} (the chosen pair) + s{r+1}
+    (the merged symbol rows, positions renumbered)."""
+    return f"""
+    p{r} AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s{r}
+    ),
+    top{r} AS (
+      SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{r} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    m{r} AS (
+      SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+             coalesce(p.sym = t.a AND p.nxt = t.b, FALSE) AS ispair
+      FROM p{r} p CROSS JOIN top{r} t
+    ),
+    i{r} AS (
+      SELECT *, CASE WHEN ispair AND NOT coalesce(
+                       lag(ispair) OVER (PARTITION BY word ORDER BY pos),
+                       FALSE)
+                     THEN pos END AS ist
+      FROM m{r}
+    ),
+    i2{r} AS (
+      SELECT *, max(ist) OVER (PARTITION BY word ORDER BY pos) AS isl
+      FROM i{r}
+    ),
+    g{r} AS (
+      SELECT *, ispair AND ((pos - isl) % 2 = 0) AS mg FROM i2{r}
+    ),
+    c{r} AS (
+      SELECT *, coalesce(lag(mg) OVER (PARTITION BY word ORDER BY pos),
+                         FALSE) AS consumed
+      FROM g{r}
+    ),
+    s{r + 1} AS (
+      SELECT word, freq,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1
+                  AS BIGINT) AS pos,
+             CASE WHEN mg THEN sym || nxt ELSE sym END AS sym
+      FROM c{r} WHERE NOT consumed
+    )"""
+
+
+_BPE_CHAIN = _BPE_BASE + "," + ",".join(
+    _bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1)
+)
+
+
+@register(
+    "text_bpe_train",
+    "WITH " + _BPE_CHAIN + "\n    SELECT * FROM (\n" + "\n      UNION ALL\n".join(
+        f"      SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, cnt AS freq FROM top{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    ) + "\n    ) ORDER BY rank",
+)
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/tokenizer.py::
+    bpe_train): 6 merge rules learned on the Zipf-collapsed distinct-word
+    frequency table with frequency-weighted pair counts and a total
+    (count desc, pair asc) tie order — reproducible at any cluster size.
+    Per round: one tiny map-side-combined pair aggregation (~|alphabet|²
+    keys) + a narrow JVM array fold applying the merge; the corpus's
+    per-occurrence data is touched exactly once, by the word-count job.
+    The oracle replays every round declaratively (greedy merge ≡ islands
+    of adjacent matches merged at even offsets)."""
+    from ..operators.tokenizer import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    cache: list = []
+    merges, _words = bpe_train(
+        docs, num_merges=_BPE_MERGES, cache=cache
+    )
+    for f in cache:  # merges are driver-side already; nothing lazy left
+        f.unpersist()
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank bigint, left_sym string, right_sym string, "
+        "merged string, freq bigint",
+    )
+
+
+@register(
+    "text_bpe_tokenize",
+    "WITH " + _BPE_CHAIN + f""",
+    pieces AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS np
+      FROM s{_BPE_MERGES + 1} GROUP BY word
+    ),
+    dtok AS (
+      SELECT doc_id, lower(t) AS word
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+      WHERE t <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(np) AS BIGINT) AS n_pieces,
+           CAST(max(np) AS BIGINT) AS max_word_pieces
+    FROM dtok JOIN pieces USING (word)
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_tokenize(spark, sf_dir):
+    """BPE application at corpus scale (operators/tokenizer.py::
+    bpe_segment_words): the trained word→pieces dictionary (tiny — the
+    distinct-word table) is BROADCAST over one corpus scan and the
+    per-doc piece counts aggregate on the unique doc id; training never
+    re-runs per document and the corpus text never shuffles. Returns
+    (doc_id, n_words, n_pieces, max_word_pieces)."""
+    from ..operators.tokenizer import bpe_segment_words, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES)
+    return bpe_segment_words(docs, words)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval. Score domain is IEEE-exact cross-engine BY CONSTRUCTION:
+# no ln/exp (libm results are not bit-specified across engines) — the idf
+# is the raw Robertson odds ratio (N - df + 0.5)/(df + 0.5), and every
+# +,-,*,/ is a correctly-rounded IEEE double op written in the SAME
+# association order on both sides (Catalyst does not reassociate floats).
+# All fractional literals are CAST AS DOUBLE in the oracle because DuckDB
+# types bare 1.2 as DECIMAL(2,1).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "vector")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({SQL_TOKS}, t -> lower(t) = '{t}'))"
+        f" AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(count(CASE WHEN tf_{t} > 0 THEN 1 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"(((n_docs - df_{t} + CAST(0.5 AS DOUBLE))"
+        f" / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{t} * CAST(2.2 AS DOUBLE))"
+        f" / (tf_{t} + CAST(1.2 AS DOUBLE)"
+        f" * (CAST(0.25 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * (dl / (sum_dl / n_docs)))))"
+        for t in _BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter({SQL_TOKS}, t -> t <> ''))
+                  AS BIGINT) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM d
+    )
+    SELECT doc_id, dl, {tf_out},
+           {_r4(score_terms)} AS score
+    FROM d CROSS JOIN stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@register("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (k1=1.2, b=0.75) for the fixed query
+    {spark, hash, vector} — the inverted-index-shaped search primitive
+    of a corpus engine, in the plan a 100-TB engine wants: pass 1
+    computes per-doc tf/dl as NARROW per-row array filters (no explode,
+    no shuffle of text) and reduces to ONE tiny global stats row
+    (N, Σdl, per-term df); pass 2 broadcasts that row back and scores
+    each doc independently; TakeOrderedAndProject keeps k rows per
+    partition. idf is the Robertson odds ratio without the log —
+    monotone-identical ranking, and bit-exact cross-engine (no libm)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ts.word_tokens("text")
+    def tf_col(term: str) -> F.Column:
+        # NB: a 2-arg lambda would make F.filter pass (element, index) —
+        # bind the term via closure over a 1-arg lambda
+        return F.size(F.filter(toks, lambda x: F.lower(x) == term)).cast(
+            "long"
+        )
+
+    tf = {t: tf_col(t) for t in _BM25_TERMS}
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("dl"),
+        *[tf[t].alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, True))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{t}") * F.lit(2.2))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            round4(score).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gate ordering. The driver's correctness gate iterates queries() in dict
 # order and may truncate under a run budget (round 3 covered exactly the
 # first 50 registered entries). Registration order follows the file's
@@ -3548,6 +3817,17 @@ _RUN_LAST = [
     # supersets the decode/resize plumbing) and the batch-shape pytest
     # pins the Arrow row-expansion contract.
     "multimodal_resize",
+    # three more r2+r3-double-greens demoted for the round-4 BPE pair +
+    # BM25: j2's seen anti-join semantics are pinned by the bloom pytest
+    # suite AND the crawl e2e equality tests (j1 keeps the join family
+    # in-gate); b4's salted top-k is pytest-pinned (salted == unsalted)
+    # and exercised end-to-end by crawl_metrics/crawl_wave_flagship
+    # in-gate; stream_stateful_user_totals has its own checkpoint-resume
+    # pytest and the stream family keeps four entries in-gate
+    # (batcher_pipeline, seen_dedup, decontaminate, incremental_dedup).
+    "j2_seen_antijoin",
+    "b4_topk_per_key",
+    "stream_stateful_user_totals",
 ]
 
 

@@ -1,0 +1,145 @@
+"""BPE tokenizer training/application (operators/tokenizer.py) and the
+BM25 retrieval entry: Spark results vs a pure-Python reference, plus the
+physical-plan pins that carry the 100-TB claims."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from basic_common_crawl_pipeline_spark.operators.tokenizer import (
+    _merge_fold,
+    bpe_segment_words,
+    bpe_train,
+)
+
+
+def py_greedy_merge(syms, a, b):
+    """Reference greedy left-to-right single-pass BPE merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def py_bpe_train(word_freq, k):
+    """Reference BPE trainer over a word-frequency dict: weighted pair
+    counts (overlapping occurrences counted, as in Sennrich), total
+    (count desc, pair asc) tie order, greedy merge application."""
+    syms = {w: list(w) for w in word_freq}
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for w, f in word_freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        syms = {w: py_greedy_merge(s, a, b) for w, s in syms.items()}
+    return merges, syms
+
+
+def test_merge_fold_matches_python_greedy(spark):
+    """The JVM array fold == the reference greedy merge on seeded-random
+    symbol sequences, including the self-overlap (a == b) runs the fold's
+    carry accumulator exists for ('l l l' -> ['ll', 'l'])."""
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randrange(0, 12))]
+        for _ in range(300)
+    ]
+    cases += [["a"] * n for n in range(1, 8)]  # pure runs: worst overlap
+    rows = [(i, syms) for i, syms in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for a, b in [("a", "b"), ("a", "a"), ("c", "a")]:
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", _merge_fold(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, syms in rows:
+            assert got[i] == py_greedy_merge(syms, a, b), (i, syms, a, b)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """End-to-end trainer equality on a corpus with Zipf-ish word reuse:
+    identical merge rules (rank, pair, weighted count) and identical
+    final segmentations for every distinct word."""
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "abab", "banana", "bb", "a", "cabbage"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 20))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    word_freq = {}
+    for _, text in docs:
+        for w in text.split(" "):
+            word_freq[w] = word_freq.get(w, 0) + 1
+    ref_merges, ref_syms = py_bpe_train(word_freq, 5)
+
+    cache = []
+    merges, words = bpe_train(df, num_merges=5, cache=cache)
+    assert merges == ref_merges
+    got_syms = {r["word"]: r["syms"] for r in words.collect()}
+    assert got_syms == ref_syms
+
+    seg = {
+        r["doc_id"]: r
+        for r in bpe_segment_words(df, words).collect()
+    }
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        assert seg[doc_id]["n_words"] == len(ws)
+        assert seg[doc_id]["n_pieces"] == sum(len(ref_syms[w]) for w in ws)
+        assert seg[doc_id]["max_word_pieces"] == max(
+            len(ref_syms[w]) for w in ws
+        )
+    for f in cache:
+        f.unpersist()
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    """The learned vocabulary is reproducible at any parallelism: pair
+    counts are exact integers and the top-1 order is total, so layout
+    must not matter."""
+    docs = [(i, "abab abba baab" if i % 3 else "aa bb abab") for i in range(30)]
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(parts)
+        cache = []
+        merges, _ = bpe_train(df, num_merges=4, cache=cache)
+        outs.append(merges)
+        for f in cache:
+            f.unpersist()
+    assert outs[0] == outs[1]
+
+
+def test_bm25_plan_is_narrow_scan_plus_broadcast(spark):
+    """The BM25 claim, physically: per-doc tf/dl are computed inside the
+    scan projection (no explode), the global stats row arrives by
+    broadcast, the top-k is TakeOrderedAndProject — and there is NO
+    hash-partitioned exchange anywhere (the only shuffle is the
+    SinglePartition reduce of the tiny stats aggregate)."""
+    from basic_common_crawl_pipeline_spark.plans import catalog
+
+    df = catalog.QUERIES["text_bm25_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats, cross shape
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode: tf is a per-row filter
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
