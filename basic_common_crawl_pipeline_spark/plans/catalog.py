@@ -3611,6 +3611,50 @@ def text_bpe_tokenize(spark, sf_dir):
     return bpe_segment_words(docs, words)
 
 
+@register(
+    "graph_cc_chain",
+    """
+    SELECT doc_id AS node, doc_id - (doc_id % 50) AS label
+    FROM documents
+    """,
+)
+def graph_cc_chain(spark, sf_dir):
+    """Log-round connected components (operators/graph.py::
+    connected_components_star) driver-checked on the graph class it
+    exists for: a DEEP-DIAMETER chain graph, where min-label propagation
+    would need diameter-many rounds (the near-dup clusters entry's
+    clique-like graphs converge in 3; this one has diameter ~49 and
+    star contraction closes it in ~O(log n) rounds). The graph is
+    synthesized deterministically from doc_ids on both engines: chain
+    edges (i, i+1) within blocks of 50, plus skip edges (i, i+7) inside
+    the block to vary degree — so the component of node i is its block
+    and the min-label is closed-form (i - i%50), giving the oracle
+    WITHOUT iterative SQL. Both edge families are semi-joined back to
+    the id set so a truncated corpus never invents a phantom endpoint
+    node."""
+    from ..operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("i"))
+    dst_ids = docs.select(F.col("doc_id").alias("dst"))
+
+    def edge_family(offset: int, max_off: int):
+        return (
+            ids.filter((F.col("i") % 50) <= max_off)
+            .select(
+                F.col("i").alias("src"),
+                (F.col("i") + offset).alias("dst"),
+            )
+            .join(dst_ids, "dst", "left_semi")
+        )
+
+    edges = edge_family(1, 48).unionByName(edge_family(7, 42))
+    cc = connected_components_star(
+        edges, nodes=docs.select("doc_id")
+    )
+    return cc.select(F.col("node"), F.col("label"))
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval. Score domain is IEEE-exact cross-engine BY CONSTRUCTION:
 # no ln/exp (libm results are not bit-specified across engines) — the idf
@@ -3828,6 +3872,11 @@ _RUN_LAST = [
     "j2_seen_antijoin",
     "b4_topk_per_key",
     "stream_stateful_user_totals",
+    # demoted for graph_cc_chain (the star-CC operator's first driver
+    # row): double-green r2+r3; multimodal_features keeps the family
+    # in-gate (it supersets the decode plumbing) and frames' Arrow
+    # row-expansion contract is pytest-pinned (test_operators.py).
+    "multimodal_frames",
 ]
 
 
