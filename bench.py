@@ -314,6 +314,33 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # BPE training runs its 6 merge rounds (one tiny collect each) at
+    # DataFrame-construction time — the callable itself IS the training
+    # job; the count just materializes the 6 returned rules.
+    timed(
+        "text_bpe_train",
+        lambda: q["text_bpe_train"](spark, sf_dir).count(),
+        trials=2,
+    )
+    # sum n_pieces/max fragmentation: forces the broadcast dictionary
+    # join and the per-doc aggregation (count(*) would prune the join —
+    # doc ids are unique).
+    timed(
+        "text_bpe_tokenize",
+        lambda: q["text_bpe_tokenize"](spark, sf_dir)
+        .agg(F.sum("n_pieces"), F.max("max_word_pieces"))
+        .collect(),
+        trials=2,
+    )
+    timed(
+        "text_bm25_topk",
+        lambda: q["text_bm25_topk"](spark, sf_dir).collect(),
+        trials=2,
+    )
+    # graph_cc_chain is deliberately NOT in the suite: its cost is ~5
+    # star-contraction rounds of fixed per-action latency (data-size-
+    # independent at these sfs), which link_pagerank's iterative timing
+    # already represents without double-counting the driver-loop floor.
 
     total = round(sum(timings.values()), 3)
     print(
