@@ -186,6 +186,121 @@ def pack_token_stream(
     )
 
 
+def keyed_prefix_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_before",
+    cache: list | None = None,
+) -> DataFrame:
+    """Exact per-key running sum (Σ value over all earlier rows of the
+    SAME key in the total order of ``order_cols``) for FEW, FAT keys —
+    the case where ``Window.partitionBy(key)`` is the hot-key hazard: a
+    corpus with 20 sources and 10^10 docs would serialize each source
+    through one task. Generalizes ``pack_token_stream``'s two-phase
+    shape from one global stream to a keyed one:
+
+    1. EXPLICIT-count range repartition on (key, order) — AQE-exempt,
+       so ``spark_partition_id()`` is stable across executions
+       (CLAUDE.md round-4 asof lesson), and a fat key spans MANY
+       consecutive partitions;
+    2. ONE single-scan groupBy(__pid, key) summary (≤ #partitions ×
+       #keys tiny rows — never data) collected to the driver;
+    3. per-key prefix scan over pid order there, then a
+       partition-LOCAL window (bounded by partition size, not key
+       frequency) plus a broadcast join of the per-(pid, key) bases.
+
+    ``order_cols`` must be total within a key. The partitioned frame is
+    persisted internally (two consumers: the summary and the output);
+    pass ``cache`` to own the unpersist. For high-cardinality keys use
+    a plain keyed window instead — no single key is hot there."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = (
+        df.repartitionByRange(n_parts, *key_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    if cache is not None:
+        cache.append(parted)
+
+    stats = parted.groupBy("__pid", *key_cols).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__v")
+    )
+    acc: dict[tuple, int] = {}
+    bases = []
+    for row in sorted(
+        stats.collect(), key=lambda r: (r["__pid"],)
+    ):
+        k = tuple(row[c] for c in key_cols)
+        bases.append((row["__pid"], *k, acc.get(k, 0)))
+        acc[k] = acc.get(k, 0) + int(row["__v"] or 0)
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{c} {dtypes[c]}" for c in key_cols)
+    base_df = spark.createDataFrame(
+        bases, f"__pid int, {key_fields}, __base long"
+    )
+
+    local = (
+        Window.partitionBy("__pid", *key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parted.join(F.broadcast(base_df), ["__pid", *key_cols])
+        .withColumn(
+            out_col,
+            (
+                F.col("__base")
+                + F.coalesce(
+                    F.sum(F.col(value_col).cast("long")).over(local),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .drop("__pid", "__base")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tok",
+    cache: list | None = None,
+) -> DataFrame:
+    """Token-budget source sampling — the Dolma/Pile mixing step that
+    ``source_mix_stats`` computes weights FOR: from each source, take
+    documents in the deterministic hash-coin order until the source's
+    token budget is filled. A document is kept iff the tokens consumed
+    BEFORE it (within its source, in coin order) are still under the
+    budget — the greedy prefix rule, so the last kept doc may overshoot
+    and the selection is reproducible at any cluster size (the coin is
+    content-derived, no RNG, same construction as ``sample_rebalance``).
+
+    Returns every input row with ``__coin``-ordered ``cum_before`` and
+    the ``kept`` flag (filter on ``kept`` to materialize the sample).
+    The per-source running sum is ``keyed_prefix_sum`` — no per-source
+    window, so 20 sources × 10^10 docs never serializes."""
+    with_coin = df.withColumn("__coin", _coin(id_col))
+    summed = keyed_prefix_sum(
+        with_coin,
+        key_cols=[source_col],
+        order_cols=["__coin", id_col],
+        value_col=token_col,
+        cache=cache,
+    )
+    budget = F.lit(default_budget)
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == s, F.lit(b)).otherwise(budget)
+    return summed.withColumn(
+        "kept", F.col("cum_before") < budget
+    ).drop("__coin")
+
+
 def unigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3612,6 +3612,60 @@ def text_bpe_tokenize(spark, sf_dir):
 
 
 @register(
+    "text_token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter({SQL_TOKS}, x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS coin
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY coin, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tok, cum_before,
+           cum_before < (CASE source WHEN 'src0' THEN 2000
+                                     WHEN 'src1' THEN 100
+                                     ELSE 400 END) AS kept
+    FROM c
+    """,
+)
+def text_token_budget_sample(spark, sf_dir):
+    """Token-budget source sampling (operators/training.py::
+    token_budget_sample) — the mixing step source_mix_stats computes
+    weights FOR: each source contributes documents in deterministic
+    hash-coin order until its token budget fills (greedy prefix rule:
+    keep iff tokens consumed before the doc are under budget). The
+    per-source running sum is the KEYED two-phase prefix sum — range
+    shuffle on (source, coin), one ≤ #partitions×#sources summary
+    collect, partition-LOCAL window — so 20 sources × 10^10 docs never
+    serializes a source through one task, which is exactly what the
+    oracle's per-source SQL window would do."""
+    from ..operators.training import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents")
+    toks = ts.word_tokens("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(toks, lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    out = token_budget_sample(
+        base, budgets={"src0": 2000, "src1": 100}, default_budget=400
+    )
+    return out.select("doc_id", "source", "n_tok", "cum_before", "kept")
+
+
+@register(
     "graph_cc_chain",
     """
     SELECT doc_id AS node, doc_id - (doc_id % 50) AS label
@@ -3877,6 +3931,10 @@ _RUN_LAST = [
     # in-gate (it supersets the decode plumbing) and frames' Arrow
     # row-expansion contract is pytest-pinned (test_operators.py).
     "multimodal_frames",
+    # demoted for text_token_budget_sample: double-green r2+r3,
+    # pytest-pinned exact vs the naive theta join, and the temporal
+    # family keeps asof (x2 entries) + rollup_hypertable in-gate.
+    "j5_range_join",
 ]
 
 

@@ -337,6 +337,16 @@ def main() -> None:
         lambda: q["text_bm25_topk"](spark, sf_dir).collect(),
         trials=2,
     )
+    # sum the computed columns: a bare count would let Catalyst prune
+    # the partition-local window and the broadcast base join (the
+    # (pid, source) base key is provably unique).
+    timed(
+        "text_token_budget_sample",
+        lambda: q["text_token_budget_sample"](spark, sf_dir)
+        .agg(F.sum("cum_before"), F.sum(F.col("kept").cast("int")))
+        .collect(),
+        trials=2,
+    )
     # graph_cc_chain is deliberately NOT in the suite: its cost is ~5
     # star-contraction rounds of fixed per-action latency (data-size-
     # independent at these sfs), which link_pagerank's iterative timing

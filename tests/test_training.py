@@ -418,3 +418,108 @@ def test_write_packed_shards_roundtrip_and_pruning(spark, tmp_path):
         assert b["start_off"] == a["start_off"] + a["n_tok"]
     for c in cache:
         c.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# keyed two-phase prefix sum + token-budget source sampling
+# ---------------------------------------------------------------------------
+
+
+def _keyed_cum_reference(rows):
+    """rows: (id, key, order, v) → {(key, id): cum_before} per key in
+    order-asc (order totals within a key)."""
+    out, acc = {}, {}
+    for rid, key, order, v in sorted(rows, key=lambda r: (r[1], r[2])):
+        out[(key, rid)] = acc.get(key, 0)
+        acc[key] = acc.get(key, 0) + v
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [2, 8])
+def test_keyed_prefix_sum_matches_reference(spark, n_parts):
+    """Per-key exactness under any layout, INCLUDING a 90%-one-key hot
+    distribution — the case the per-key-window alternative serializes."""
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        keyed_prefix_sum,
+    )
+
+    rows = [
+        (i, "hot" if i % 10 else f"cold{i % 3}", (i * 17) % 251, 1 + i % 7)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, key string, ord long, v long"
+    ).repartition(n_parts)
+    cache = []
+    got = {
+        (r["key"], r["id"]): r["cum_before"]
+        for r in keyed_prefix_sum(
+            df, ["key"], ["ord", "id"], "v", cache=cache
+        ).collect()
+    }
+    for c in cache:
+        c.unpersist()
+    assert got == _keyed_cum_reference(rows)
+
+
+def test_keyed_prefix_sum_window_is_partition_local(spark):
+    """The scale claim, physically: the only Window partitions by the
+    PHYSICAL partition id alongside the key (bounded by partition size,
+    never by a key's frequency) — a bare per-key window must not appear."""
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        keyed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "k", i, 1) for i in range(50)],
+        "id long, key string, ord long, v long",
+    )
+    cache = []
+    out = keyed_prefix_sum(df, ["key"], ["ord", "id"], "v", cache=cache)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for c in cache:
+        c.unpersist()
+    window_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "__pid" in ln, ln  # partition-local, not per-key
+
+
+def test_token_budget_sample_greedy_prefix_rule(spark):
+    """Selection == pure-Python reference: per source, docs in md5-coin
+    order accumulate until the budget; keep iff cum_before < budget (the
+    last kept doc may overshoot); selection is layout-independent."""
+    import hashlib
+
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        token_budget_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", 10 + (i * 13) % 40) for i in range(60)]
+    budgets = {"s0": 120, "s1": 55}
+    default = 30
+
+    def coin(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    acc = {}
+    for i, s, v in sorted(rows, key=lambda r: (r[1], coin(r[0]), r[0])):
+        before = acc.get(s, 0)
+        expect[i] = (before, before < budgets.get(s, default))
+        acc[s] = before + v
+
+    for n_parts in (1, 8):
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        ).repartition(n_parts)
+        cache = []
+        got = {
+            r["doc_id"]: (r["cum_before"], r["kept"])
+            for r in token_budget_sample(
+                df, budgets, default_budget=default, cache=cache
+            ).collect()
+        }
+        for c in cache:
+            c.unpersist()
+        assert got == expect
