@@ -402,6 +402,74 @@ def rollup_hypertable(spark, sf_dir):
 
 
 @register(
+    "w2_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             """ + SQL_CENTS.format(expr="value") + """ AS cents
+      FROM events
+    ),
+    l AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS prev
+      FROM e
+    ),
+    b AS (
+      SELECT *, CASE WHEN prev IS NULL OR us - prev > 43200000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM l
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS sid
+      FROM b
+    )
+    SELECT user_id,
+           min(us) AS start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(us) - min(us) AS span_us,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w2_session_window(spark, sf_dir):
+    """Sessionization — per-user gap sessions (12 h) via Spark's
+    NATIVE ``session_window`` aggregate: one hash shuffle on the
+    (high-cardinality, skew-free) user key, sessions merged inside the
+    aggregation operator, no per-event window function — and the same
+    expression works under Structured Streaming with a watermark (the
+    state-store sessionization story). The oracle is the classic
+    gaps-and-islands window SQL with the EXACT break rule session_window
+    uses: two events share a session iff their gap is AT MOST the
+    threshold — a session's interval is [t, t+gap] and touching
+    intervals merge, so the island break is `> gap`, NOT `>= gap`
+    (indistinguishable on random-µs data; pinned with a boundary-exact
+    pytest that fails under the other rule). Integer output domain
+    end to end: epoch-µs timestamps, exact cents."""
+    from ..functions.numeric import to_cents
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        to_cents(F.col("value")).alias("cents"),
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), "12 hours").alias("w"),
+        )
+        .agg(
+            F.min("us").alias("start_us"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select("user_id", "start_us", "n_events", "span_us", "sum_cents")
+    )
+
+
+@register(
     "u1_set_ops",
     """
     SELECT doc_id FROM documents WHERE lang = 'en'
@@ -3879,8 +3947,9 @@ _RUN_LAST = [
     "dedup_ngram_jaccard",     # brute-force baseline; scale paths stay mid
     # two more r2+r3-double-greens demoted for the round-4 line-dedup /
     # PII entries: sql_revenue_by_segment is plain SQL over the same agg
-    # shape a1 keeps in-gate; b3_global_order has its own determinism
-    # pytest and b4 exercises the ordering machinery in-gate.
+    # shape the in-gate aggregates exercise (rollup_hypertable,
+    # text_domain_mix, w2_session_window); b3_global_order has its own
+    # determinism pytest and b4 exercises the ordering machinery in-gate.
     "sql_revenue_by_segment",
     "b3_global_order",
     # demoted for text_lm_quality: langid is a pure narrow column op,
@@ -3935,6 +4004,12 @@ _RUN_LAST = [
     # pytest-pinned exact vs the naive theta join, and the temporal
     # family keeps asof (x2 entries) + rollup_hypertable in-gate.
     "j5_range_join",
+    # demoted for w2_session_window: double-green r2+r3; the plain
+    # groupBy-agg shape stays in-gate many times over (rollup_hypertable,
+    # text_domain_mix, text_lm_quality, the new session aggregate
+    # itself), and a1's exact pricing arithmetic is the round4 helper
+    # that every in-gate float entry exercises.
+    "a1_pricing_summary",
 ]
 
 

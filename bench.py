@@ -347,6 +347,15 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # sum the session aggregates so the per-session measures survive
+    # (the grouping itself cannot be pruned, but the sums could).
+    timed(
+        "w2_session_window",
+        lambda: q["w2_session_window"](spark, sf_dir)
+        .agg(F.sum("n_events"), F.sum("sum_cents"), F.max("span_us"))
+        .collect(),
+        trials=2,
+    )
     # graph_cc_chain is deliberately NOT in the suite: its cost is ~5
     # star-contraction rounds of fixed per-action latency (data-size-
     # independent at these sfs), which link_pagerank's iterative timing

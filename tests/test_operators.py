@@ -1310,3 +1310,35 @@ def test_incremental_dedup_streaming_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, drained), key=lambda t: t[0]) == sorted(
         map(tuple, batch), key=lambda t: t[0]
     )
+
+
+def test_session_window_break_rule_at_exact_gap(spark):
+    """Pins the semantics the w2_session_window oracle encodes: Spark's
+    native session_window merges two events when their gap is AT MOST
+    the threshold (a session's interval is [t, t+gap]; touching
+    intervals merge), so the oracle's island break is `> gap`, NOT
+    `>= gap` — the two rules are indistinguishable on random-µs
+    corpora, which is exactly why this boundary-exact pin exists."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + timedelta(minutes=29, seconds=59)),  # < gap: merges
+        (1, base + timedelta(minutes=59, seconds=59)),  # == gap: MERGES
+        (2, base),
+        (2, base + timedelta(minutes=30, microseconds=1)),  # > gap: breaks
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(per_user[1]) == [3]
+    assert sorted(per_user[2]) == [1, 1]
