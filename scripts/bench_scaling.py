@@ -229,13 +229,31 @@ hardware ceiling probe (pure-Python extraction, docs/sec):
   millions of URLs for minutes, which is the steady-state row above —
   the small-waves row is reported anyway as the honest lower bound.
 
-Raw JSON:
+{{MANUAL}}Raw JSON:
 
 ```json
 {os.linesep.join(json.dumps(results[c]) for c in LEVELS)}
-```
+{{PRIOR_JSON}}```
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # Regeneration must not lose hand-written analysis or prior runs'
+    # raw lines: carry over everything between the manual markers, and
+    # every previously-recorded JSON line (this run's lines are new).
+    bench_path = os.path.join(REPO, "BENCH.md")
+    manual, prior_json = "", ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        m0, m1 = "<!-- manual-notes-start -->", "<!-- manual-notes-end -->"
+        if m0 in old and m1 in old:
+            manual = old[old.index(m0) : old.index(m1) + len(m1)] + "\n\n"
+        prior_json = "".join(
+            ln + "\n"
+            for ln in old.splitlines()
+            if ln.startswith('{"metric"')
+        )
+    report = report.replace("{MANUAL}", manual).replace(
+        "{PRIOR_JSON}", prior_json
+    )
+    with open(bench_path, "w") as f:
         f.write(report)
     print(f"\nefficiencies: {json.dumps(effs)}")
     print("wrote BENCH.md")
