@@ -126,9 +126,16 @@ def bpe_train(
     ``syms`` — the broadcast-ready segmentation dictionary for
     ``bpe_segment_words``.
 
-    ``words`` is persisted internally (the loop re-scans it every
-    round); pass ``cache`` to take ownership of the unpersist, same
-    convention as operators/training.py::pack_token_stream."""
+    The word table is persisted and RE-MATERIALIZED every round (each
+    round's merge fold lands in the cached frame before the next
+    round's pair count), so round r runs exactly ONE fold over cached
+    arrays — without this, round r re-executes all r-1 prior folds
+    from the raw corpus and the returned frame carries a k-deep nested
+    interpreted expression (the CLAUDE.md iterative-lineage rule; total
+    work would be O(k²) folds). At most two round frames are live at
+    once — grandparents retire as soon as their child is materialized.
+    Pass ``cache`` to own the final unpersists, same convention as
+    operators/training.py::pack_token_stream."""
     wf = (
         word_frequency_table(df, text_col)
         .withColumn("syms", _chars(F.col("word")))
@@ -138,11 +145,11 @@ def bpe_train(
         cache.append(wf)
 
     merges: list[tuple[int, str, str, int]] = []
-    syms = F.col("syms")
+    retire: DataFrame | None = None
     for rank in range(1, num_merges + 1):
         # adjacent pairs of the CURRENT symbol sequences, weighted by
         # word frequency; ~|alphabet + learned|² keys → tiny shuffle
-        cur = wf.withColumn("__s", syms)
+        cur = wf.withColumn("__s", F.col("syms"))
         pairs = (
             cur.select(
                 "freq",
@@ -168,15 +175,22 @@ def bpe_train(
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
         )
-        top = pairs.collect()  # exactly one tiny row per round
+        top = pairs.collect()  # one tiny row; materializes this round's wf
+        if retire is not None:
+            retire.unpersist()  # grandparent — child is now cache-resident
+            retire = None
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, cnt))
-        syms = _merge_fold(syms, a, b)
+        new_wf = wf.withColumn(
+            "syms", _merge_fold(F.col("syms"), a, b)
+        ).persist()
+        if cache is not None:
+            cache.append(new_wf)
+        retire, wf = wf, new_wf
 
-    words = wf.withColumn("syms", syms).select("word", "freq", "syms")
-    return merges, words
+    return merges, wf.select("word", "freq", "syms")
 
 
 def bpe_segment_words(
@@ -190,9 +204,14 @@ def bpe_segment_words(
     return — word → final symbol sequence) to a corpus: one scan, one
     broadcast hash join on the unique word key, one per-doc aggregate.
     Returns one row per document: ``(id, n_words, n_pieces,
-    max_word_pieces)`` — total word occurrences, total BPE pieces after
-    segmentation, and the worst per-word fragmentation (an OOV-ish
-    signal: unseen character patterns stay many pieces long)."""
+    max_word_pieces, n_oov)``.
+
+    The join is LEFT: a word absent from the training dictionary (the
+    application corpus need not be the training corpus) falls back to
+    character segmentation — ``length(word)`` pieces, the exact
+    untrained-BPE behavior — and counts into ``n_oov``. An inner join
+    would silently drop OOV occurrences from every count and erase
+    all-OOV documents from the output entirely."""
     toks = corpus.select(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
     ).filter(F.col("__t") != "")
@@ -200,13 +219,17 @@ def bpe_segment_words(
     dict_df = words.select(
         "word", F.size("syms").cast("long").alias("__np")
     )
+    np = F.coalesce(F.col("__np"), F.length("word").cast("long"))
     return (
         toks.select(id_col, word.alias("word"))
-        .join(F.broadcast(dict_df), "word")
+        .join(F.broadcast(dict_df), "word", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            F.sum("__np").cast("long").alias("n_pieces"),
-            F.max("__np").cast("long").alias("max_word_pieces"),
+            F.sum(np).cast("long").alias("n_pieces"),
+            F.max(np).cast("long").alias("max_word_pieces"),
+            F.count(F.when(F.col("__np").isNull(), True))
+            .cast("long")
+            .alias("n_oov"),
         )
     )

@@ -133,56 +133,22 @@ def pack_token_stream(
     loader). ``order_cols`` must be a total key; ``token_col`` must be a
     non-negative integral column.
 
-    Two-phase exact prefix sum at 10^10-document scale (the
-    operators/ordering.py shape): EXPLICIT-count range repartition on the
-    order key (AQE-coalescing-exempt, so ``spark_partition_id()`` is
-    identical in every execution — CLAUDE.md round-4 asof lesson), one
-    tiny per-partition token-sum aggregation collected to the driver,
-    prefix scan there, then a partition-local window (bounded by
-    partition size, never by any key's frequency) plus a broadcast join
-    of the ≤ #partitions offsets finishes the job all-JVM."""
-    spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    parted = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    The exact prefix sum is ``keyed_prefix_sum`` with an EMPTY key list
+    (one global stream) — see its docstring for the two-phase shape and
+    its hazards; this function only adds the pack/straddle projection."""
+    summed = keyed_prefix_sum(
+        df, [], order_cols, token_col, out_col="start_off", cache=cache
     )
-    if cache is not None:
-        cache.append(parted)
-
-    stats = parted.groupBy("__pid").agg(
-        F.sum(F.col(token_col).cast("long")).alias("__toks")
-    )
-    offsets, acc = [], 0
-    for row in sorted(stats.collect(), key=lambda r: r["__pid"]):
-        offsets.append((row["__pid"], acc))
-        acc += int(row["__toks"] or 0)
-    off_df = spark.createDataFrame(offsets, "__pid int, __base long")
-
-    local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    start = (
-        F.col("__base")
-        + F.coalesce(F.sum(F.col(token_col).cast("long")).over(local), F.lit(0))
-    ).cast("long")
     tok = F.col(token_col).cast("long")
-    return (
-        parted.join(F.broadcast(off_df), "__pid")
-        .withColumn("start_off", start)
-        .withColumn(
-            "pack_id", F.floor(F.col("start_off") / F.lit(budget)).cast("long")
-        )
-        .withColumn(
-            "straddles",
-            (tok > 0)
-            & (
-                F.floor((F.col("start_off") + tok - 1) / F.lit(budget))
-                != F.col("pack_id")
-            ),
-        )
-        .drop("__pid", "__base")
+    return summed.withColumn(
+        "pack_id", F.floor(F.col("start_off") / F.lit(budget)).cast("long")
+    ).withColumn(
+        "straddles",
+        (tok > 0)
+        & (
+            F.floor((F.col("start_off") + tok - 1) / F.lit(budget))
+            != F.col("pack_id")
+        ),
     )
 
 
@@ -211,10 +177,15 @@ def keyed_prefix_sum(
        partition-LOCAL window (bounded by partition size, not key
        frequency) plus a broadcast join of the per-(pid, key) bases.
 
-    ``order_cols`` must be total within a key. The partitioned frame is
-    persisted internally (two consumers: the summary and the output);
-    pass ``cache`` to own the unpersist. For high-cardinality keys use
-    a plain keyed window instead — no single key is hot there."""
+    ``order_cols`` must be total within a key; ``key_cols`` may be
+    EMPTY (one global stream — ``pack_token_stream`` is exactly that
+    plus a projection) and key values may be NULL (the base join is
+    null-safe, so NULL-key rows form their own partition exactly like
+    the per-key-window alternative would treat them). The partitioned
+    frame is persisted internally (two consumers: the summary and the
+    output); pass ``cache`` to own the unpersist. For high-cardinality
+    keys use a plain keyed window instead — no single key is hot
+    there."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parted = (
@@ -237,9 +208,9 @@ def keyed_prefix_sum(
         bases.append((row["__pid"], *k, acc.get(k, 0)))
         acc[k] = acc.get(k, 0) + int(row["__v"] or 0)
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    key_fields = ", ".join(f"{c} {dtypes[c]}" for c in key_cols)
+    fields = ["__pid int"] + [f"{c} {dtypes[c]}" for c in key_cols]
     base_df = spark.createDataFrame(
-        bases, f"__pid int, {key_fields}, __base long"
+        bases, ", ".join(fields + ["__base long"])
     )
 
     local = (
@@ -247,8 +218,16 @@ def keyed_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL-SAFE join on the key columns: a (pid, NULL-key) group exists
+    # in base_df, and plain `=` would silently drop every NULL-key row
+    # from the output (NULL = NULL is not true).
+    p, b = parted.alias("__p"), F.broadcast(base_df).alias("__b")
+    cond = F.col("__p.__pid") == F.col("__b.__pid")
+    for c in key_cols:
+        cond = cond & F.col(f"__p.{c}").eqNullSafe(F.col(f"__b.{c}"))
     return (
-        parted.join(F.broadcast(base_df), ["__pid", *key_cols])
+        p.join(b, cond)
+        .select("__p.*", F.col("__b.__base"))
         .withColumn(
             out_col,
             (

@@ -3574,9 +3574,14 @@ def _bpe_round_sql(r: int) -> str:
       GROUP BY sym, nxt ORDER BY cnt DESC, a, b LIMIT 1
     ),
     m{r} AS (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: when a round finds no pairs
+      -- (top{r} empty) symbols must pass through unchanged (ispair all
+      -- FALSE), mirroring bpe_train's early break — a cross join with
+      -- an empty side would annihilate the symbol table and every
+      -- later round with it
       SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
              coalesce(p.sym = t.a AND p.nxt = t.b, FALSE) AS ispair
-      FROM p{r} p CROSS JOIN top{r} t
+      FROM p{r} p LEFT JOIN top{r} t ON TRUE
     ),
     i{r} AS (
       SELECT *, CASE WHEN ispair AND NOT coalesce(
@@ -3659,9 +3664,11 @@ def text_bpe_train(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(np) AS BIGINT) AS n_pieces,
-           CAST(max(np) AS BIGINT) AS max_word_pieces
-    FROM dtok JOIN pieces USING (word)
+           CAST(sum(coalesce(np, length(word))) AS BIGINT) AS n_pieces,
+           CAST(max(coalesce(np, length(word))) AS BIGINT)
+             AS max_word_pieces,
+           CAST(count(CASE WHEN np IS NULL THEN 1 END) AS BIGINT) AS n_oov
+    FROM dtok LEFT JOIN pieces USING (word)
     GROUP BY doc_id
     """,
 )
@@ -3671,7 +3678,9 @@ def text_bpe_tokenize(spark, sf_dir):
     distinct-word table) is BROADCAST over one corpus scan and the
     per-doc piece counts aggregate on the unique doc id; training never
     re-runs per document and the corpus text never shuffles. Returns
-    (doc_id, n_words, n_pieces, max_word_pieces)."""
+    (doc_id, n_words, n_pieces, max_word_pieces, n_oov) — OOV words
+    (none here: application corpus == training corpus) fall back to
+    character segmentation via the LEFT join on both engines."""
     from ..operators.tokenizer import bpe_segment_words, bpe_train
 
     docs = load(spark, sf_dir, "documents")

@@ -106,6 +106,7 @@ def test_bpe_train_matches_python_reference(spark):
         assert seg[doc_id]["max_word_pieces"] == max(
             len(ref_syms[w]) for w in ws
         )
+        assert seg[doc_id]["n_oov"] == 0  # application corpus == training
     for f in cache:
         f.unpersist()
 
@@ -143,3 +144,65 @@ def test_bm25_plan_is_narrow_scan_plus_broadcast(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode: tf is a per-row filter
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bpe_train_dry_round_breaks_early_and_matches_oracle(spark):
+    """When merges run dry before num_merges (every word reduced to one
+    symbol), Spark breaks early; the oracle's LEFT JOIN ON TRUE must
+    pass symbols through the empty rounds unchanged — a CROSS JOIN
+    against the empty top would annihilate the symbol table and zero
+    out the tokenize oracle."""
+    import duckdb
+
+    from basic_common_crawl_pipeline_spark.plans import catalog
+
+    docs = [(i, "ab ab ab") for i in range(5)]  # ONE merge possible
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cache = []
+    merges, words = bpe_train(df, num_merges=4, cache=cache)
+    assert [(r, a, b) for r, a, b, _ in merges] == [(1, "a", "b")]
+
+    chain = catalog._BPE_BASE + "," + ",".join(
+        catalog._bpe_round_sql(r) for r in range(1, 5)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, 'ab ab ab')" for i in range(5))
+        + ") t(doc_id, text)"
+    )
+    orc = con.execute(
+        "WITH " + chain + ", pieces AS (SELECT word, CAST(count(*) AS "
+        "BIGINT) AS np FROM s5 GROUP BY word) SELECT word, np FROM pieces"
+    ).fetchall()
+    assert orc == [("ab", 1)]  # survived rounds 2-4 dry, fully merged
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_oov"])
+        for r in bpe_segment_words(df, words).collect()
+    }
+    assert got == {i: (3, 3, 0) for i in range(5)}
+    for f in cache:
+        f.unpersist()
+
+
+def test_bpe_segment_words_counts_oov_with_char_fallback(spark):
+    """Applying a trained dictionary to a DIFFERENT corpus: unseen words
+    must not vanish (the inner-join bug) — they char-segment and count
+    into n_oov."""
+    train = spark.createDataFrame(
+        [(1, "abab abab")], "doc_id long, text string"
+    )
+    cache = []
+    _merges, words = bpe_train(train, num_merges=2, cache=cache)
+    apply_corpus = spark.createDataFrame(
+        [(7, "abab zzz qqqq")], "doc_id long, text string"
+    )
+    r = bpe_segment_words(apply_corpus, words).collect()[0]
+    # 'abab' merges to ONE piece in 2 rounds ((a,b) then (ab,ab));
+    # 'zzz'/'qqqq' are OOV -> character fallback 3 and 4 pieces
+    assert r["n_words"] == 3 and r["n_oov"] == 2
+    assert r["n_pieces"] == 1 + 3 + 4
+    assert r["max_word_pieces"] == 4
+    for f in cache:
+        f.unpersist()

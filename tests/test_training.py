@@ -523,3 +523,24 @@ def test_token_budget_sample_greedy_prefix_rule(spark):
         for c in cache:
             c.unpersist()
         assert got == expect
+
+
+def test_keyed_prefix_sum_null_keys_survive(spark):
+    """NULL-key rows form their own partition (null-safe base join) —
+    a plain equality join would silently drop them."""
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        keyed_prefix_sum,
+    )
+
+    rows = [(1, None, 1, 5), (2, None, 2, 7), (3, "k", 1, 11)]
+    df = spark.createDataFrame(rows, "id long, key string, ord long, v long")
+    cache = []
+    got = {
+        r["id"]: r["cum_before"]
+        for r in keyed_prefix_sum(
+            df, ["key"], ["ord", "id"], "v", cache=cache
+        ).collect()
+    }
+    for c in cache:
+        c.unpersist()
+    assert got == {1: 0, 2: 5, 3: 0}
