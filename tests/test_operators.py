@@ -1342,3 +1342,62 @@ def test_session_window_break_rule_at_exact_gap(spark):
         per_user.setdefault(r["user_id"], []).append(r["n"])
     assert sorted(per_user[1]) == [3]
     assert sorted(per_user[2]) == [1, 1]
+
+
+def test_session_window_streams_and_merges_across_microbatches(
+    spark, tmp_path
+):
+    """Pins w2_session_window's 'works under Structured Streaming with a
+    watermark' claim: the SAME session_window aggregation run over a
+    file-queue stream (events split across micro-batches, one file per
+    trigger) equals the batch result — including a session whose events
+    ARRIVE IN DIFFERENT MICRO-BATCHES (state-store session merge) and a
+    boundary-exact == gap merge."""
+    from datetime import datetime, timedelta
+
+    from basic_common_crawl_pipeline_spark.streaming.queue_stream import (
+        consume_batches,
+        run_stream_to_memory,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (1, base, 10),
+        (1, base + timedelta(minutes=20), 11),  # < gap: merges
+        (1, base + timedelta(minutes=50), 12),  # == gap from prev: MERGES
+        (1, base + timedelta(minutes=81), 13),  # > gap: new session
+        (2, base + timedelta(minutes=5), 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v long")
+
+    def sessions(d):
+        return (
+            d.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("v").cast("long").alias("sv"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("start_us"),
+                "n",
+                "sv",
+            )
+        )
+
+    want = sorted(map(tuple, sessions(df).collect()))
+    assert [t[2] for t in want] == [3, 1, 1]  # the batch shape itself
+
+    qdir = str(tmp_path / "events")
+    df.repartition(5).write.parquet(qdir)
+    stream = consume_batches(spark, qdir, df.schema, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        spark,
+        sessions(stream.withWatermark("ts", "10 days")),
+        "w2_stream_sessions",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    assert sorted(map(tuple, got.collect())) == want
