@@ -3799,7 +3799,7 @@ def graph_cc_chain(spark, sf_dir):
 _BM25_TERMS = ("spark", "hash", "vector")
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(matching_only: bool = False) -> str:
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter({SQL_TOKS}, t -> lower(t) = '{t}'))"
         f" AS BIGINT) AS tf_{t}"
@@ -3819,6 +3819,13 @@ def _bm25_oracle() -> str:
         for t in _BM25_TERMS
     )
     tf_out = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    # the inverted-index path can only retrieve documents containing at
+    # least one query term — its oracle restricts itself identically
+    where = (
+        "WHERE " + " + ".join(f"tf_{t}" for t in _BM25_TERMS) + " > 0"
+        if matching_only
+        else ""
+    )
     return f"""
     WITH d AS (
       SELECT doc_id,
@@ -3836,6 +3843,7 @@ def _bm25_oracle() -> str:
     SELECT doc_id, dl, {tf_out},
            {_r4(score_terms)} AS score
     FROM d CROSS JOIN stats
+    {where}
     ORDER BY score DESC, doc_id LIMIT 10
     """
 
@@ -3876,36 +3884,41 @@ def text_bm25_topk(spark, sf_dir):
             for t in _BM25_TERMS
         ],
     )
-    score = None
-    for t in _BM25_TERMS:
-        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
-            F.col(f"df_{t}") + F.lit(0.5)
-        )
-        term = (
-            idf
-            * (F.col(f"tf_{t}") * F.lit(2.2))
-            / (
-                F.col(f"tf_{t}")
-                + F.lit(1.2)
-                * (
-                    F.lit(0.25)
-                    + F.lit(0.75)
-                    * (F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
-                )
-            )
-        )
-        score = term if score is None else score + term
+    from ..operators.retrieval import bm25_score_expr
+
     return (
         d.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             "dl",
             *[f"tf_{t}" for t in _BM25_TERMS],
-            round4(score).alias("score"),
+            round4(bm25_score_expr(_BM25_TERMS)).alias("score"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register("text_bm25_indexed", _bm25_oracle(matching_only=True))
+def text_bm25_indexed(spark, sf_dir):
+    """BM25 top-k over the term-partitioned INVERTED-INDEX layout
+    (operators/retrieval.py): one indexing job materializes posting
+    lists partitioned by ``xxhash64(term) mod 64`` plus a one-row
+    corpus-stats table; the query opens only the query terms' bucket
+    partitions (partition pruning, pinned in tests/test_plans.py) and
+    never rescans text. Same score expression object as text_bm25_topk
+    (operators/retrieval.py::bm25_score_expr — bit-identical float
+    association), so the oracle is the full-scan SQL restricted to
+    documents containing at least one query term: the honest index
+    contract (zero-match docs are not retrievable)."""
+    import tempfile
+
+    from ..operators import retrieval
+
+    docs = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    retrieval.write_inverted_index(docs, path)
+    return retrieval.bm25_topk_indexed(spark, path, _BM25_TERMS, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -4019,6 +4032,13 @@ _RUN_LAST = [
     # itself), and a1's exact pricing arithmetic is the round4 helper
     # that every in-gate float entry exercises.
     "a1_pricing_summary",
+    # demoted for text_bm25_indexed (the inverted-index layout's first
+    # driver row): j1 is double-green r2+r3, its broadcast/shuffle_hash
+    # strategy switch is pytest-pinned (test_determinism), and the
+    # fetch-join path runs IN-GATE end-to-end inside crawl_metrics /
+    # crawl_wave_flagship (which execute first, with a full oracle on
+    # the former).
+    "j1_fetch_join",
 ]
 
 

@@ -485,3 +485,47 @@ def test_round4_continuation_physical_plans(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_index_layout_partition_pruning(spark, tmp_path):
+    """The inverted-index layout (operators/retrieval.py) turns the
+    BM25 term probe into PARTITION pruning: the bucket predicate sits on
+    the partition column (PartitionFilters), only the query terms'
+    bucket directories are opened, and the probe plan never touches the
+    corpus text (2-column-free: it reads postings, not documents)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators import retrieval
+    from basic_common_crawl_pipeline_spark.plans.catalog import _BM25_TERMS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25_idx")
+    retrieval.write_inverted_index(docs, path)
+
+    want_buckets = set(
+        retrieval.term_buckets(spark, _BM25_TERMS, 64).values()
+    )
+    probe = retrieval.bm25_topk_indexed(spark, path, _BM25_TERMS, k=10)
+    plan = _plan(probe)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in pf and " IN " in pf, plan
+
+    # behavioral pruning: the files actually opened are the term buckets
+    post = spark.read.parquet(path + "/postings").filter(
+        F.col("bucket").isin(sorted(want_buckets))
+    )
+    files = {
+        r[0] for r in post.select(F.input_file_name()).distinct().collect()
+    }
+    opened = {int(re.search(r"bucket=(\d+)", f).group(1)) for f in files}
+    all_parts = {
+        int(re.search(r"bucket=(\d+)", r[0]).group(1))
+        for r in spark.read.parquet(path + "/postings")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert opened <= want_buckets
+    assert len(all_parts) > len(want_buckets)  # genuinely pruned

@@ -6,6 +6,8 @@ import random
 
 from pyspark.sql import functions as F
 
+SF = "/root/testdata/sf0.001"
+
 from basic_common_crawl_pipeline_spark.operators.tokenizer import (
     _merge_fold,
     bpe_segment_words,
@@ -206,3 +208,37 @@ def test_bpe_segment_words_counts_oov_with_char_fallback(spark):
     assert r["max_word_pieces"] == 4
     for f in cache:
         f.unpersist()
+
+
+def test_bm25_indexed_equals_full_scan_on_matching_docs(spark, tmp_path):
+    """The inverted-index probe (operators/retrieval.py) reproduces the
+    full-scan BM25 entry EXACTLY — same doc ids, same bit-for-bit
+    scores (one shared score expression) — on a corpus where zero-match
+    docs exist (they are not retrievable; the full-scan side filters
+    them the same way its matching_only oracle does)."""
+    from basic_common_crawl_pipeline_spark.operators import retrieval
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        _BM25_TERMS,
+        text_bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25_idx")
+    retrieval.write_inverted_index(docs, path)
+    got = retrieval.bm25_topk_indexed(
+        spark, path, _BM25_TERMS, k=10
+    ).collect()
+    want = text_bm25_topk(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["score"] > 0 for r in got)
+
+    # zero-match docs are genuinely absent from the index's reach
+    novel = spark.createDataFrame(
+        [(900001, "entirely unrelated words"), (900002, "spark spark")],
+        "doc_id long, text string",
+    )
+    p2 = str(tmp_path / "bm25_idx2")
+    retrieval.write_inverted_index(novel, p2)
+    out = retrieval.bm25_topk_indexed(spark, p2, _BM25_TERMS, k=10).collect()
+    assert [r["doc_id"] for r in out] == [900002]
+    assert out[0]["tf_spark"] == 2 and out[0]["dl"] == 2
