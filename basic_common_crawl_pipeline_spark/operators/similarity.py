@@ -652,37 +652,40 @@ def pq_codebooks(
     ]
 
 
-def _subspace_dists(vec: Column, j: int, cb: list[list[float]]) -> Column:
-    """array of round4(Σ_i (v[j·subdim+i] − c_i)²) for every centroid c
-    of subspace j's codebook — one 8-element zip_with fold PER CENTROID
-    (k small folds). The two tempting alternatives both lose, measured
-    at sf0.1: unrolling into per-element column chains blows up
-    Catalyst (the CLAUDE.md 128-node negative result), and folding all
-    k distances in ONE pass with a k-field struct accumulator is ~3×
+def _sql_d(x: float) -> str:
+    """A Spark-SQL DOUBLE literal (the D suffix: bare ``1.2`` parses as
+    DECIMAL in Spark SQL exactly like in DuckDB)."""
+    return repr(float(x)) + "D"
+
+
+def _subspace_dists_sql(vec_name: str, j: int, cb: list[list[float]]) -> str:
+    """SQL fragment: array of round4(Σ_i (v[j·subdim+i] − c_i)²) for
+    every centroid c of subspace j's codebook — one 8-element zip_with
+    fold PER CENTROID (k small folds). Two measured negative results at
+    sf0.1 (keep them dead): unrolling into per-element column chains
+    blows up Catalyst (the CLAUDE.md 128-node rule), and folding all k
+    distances in ONE pass with a k-field struct accumulator is ~3×
     SLOWER — the interpreted fold rebuilds the 16-field struct on every
-    step, which costs far more than the k subvector re-walks it saves.
-    (The round-4 one-fold-returning-a-struct lesson applies to a few
-    OUTPUT stats over one array, not to a k-wide accumulator.)"""
+    step. This builder emits a SQL STRING rather than composing Column
+    objects because the py4j construction of the m×k fold tree was
+    itself the dominant cost of the PQ entries (measured: ~8.6 s of
+    DataFrame construction vs 2.4 s of execution on 2000 rows —
+    data-independent, flat from local[2] to local[32]); one
+    ``F.expr`` parse builds the identical expression JVM-side in
+    milliseconds. The fold arithmetic is unchanged: CAST to double,
+    literal-array zip, left-to-right 0.0-seeded sum, round4."""
     subdim = len(cb[0])
-    sub = F.slice(vec, j * subdim + 1, subdim)
+    sub = f"slice(`{vec_name}`, {j * subdim + 1}, {subdim})"
     dists = []
     for cent in cb:
-        clit = F.array(*[F.lit(float(x)) for x in cent])
-        dists.append(
-            round4(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        clit,
-                        lambda x, c: (x.cast("double") - c)
-                        * (x.cast("double") - c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
+        clit = "array(" + ", ".join(_sql_d(x) for x in cent) + ")"
+        fold = (
+            f"aggregate(zip_with({sub}, {clit}, "
+            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-    return F.array(*dists)
+        dists.append(f"(floor(({fold}) * 10000 + 0.5D) / 10000)")
+    return "array(" + ", ".join(dists) + ")"
 
 
 def pq_encode(
@@ -697,20 +700,26 @@ def pq_encode(
     the column a 10^10-row compressed layout actually stores). Pure
     Column arithmetic over one scan: no UDF, no shuffle, and the argmin
     is ``array_position(dists, array_min(dists)) − 1`` so the
-    first-minimum tie rule is explicit and engine-portable."""
+    first-minimum tie rule is explicit and engine-portable. Expressions
+    are built as SQL text (see ``_subspace_dists_sql`` — py4j Column
+    composition of the m×k fold tree cost ~6 s of pure driver time)."""
     if codebooks is None:
         codebooks = pq_codebooks()
     k = len(codebooks[0])
     codes = []
     for j, cb in enumerate(codebooks):
-        dists = _subspace_dists(F.col(vec_col), j, cb)
+        dists = _subspace_dists_sql(vec_col, j, cb)
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
         )
-    code_arr = F.array(*codes)
-    word = F.lit(0).cast("long")
-    for j in range(len(codebooks)):
-        word = word + (codes[j].cast("long") * F.lit(int(k) ** j))
+    code_arr = F.expr("array(" + ", ".join(codes) + ")")
+    word = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CAST({c} AS BIGINT) * {int(k) ** j})"
+            for j, c in enumerate(codes)
+        )
+    )
     return df.withColumn("pq_code", code_arr).withColumn("pq_word", word)
 
 
@@ -757,12 +766,15 @@ def pq_topk(
         codebooks = pq_codebooks()
     lut = pq_adc_table(query_vec, codebooks)
     enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    adist = F.lit(0.0)
-    for j, row in enumerate(lut):
-        lut_arr = F.array(*[F.lit(float(v)) for v in row])
-        adist = adist + F.element_at(
-            lut_arr, F.element_at(F.col("pq_code"), j + 1) + 1
+    adist = F.expr(
+        "0.0D + "
+        + " + ".join(
+            "element_at(array("
+            + ", ".join(_sql_d(v) for v in row)
+            + f"), element_at(pq_code, {j + 1}) + 1)"
+            for j, row in enumerate(lut)
         )
+    )
     # round4 the summed ADC distance: the 8 addends are round4 literals
     # on both engines, but the SUM order is fold-vs-aggregate — absorb
     # the ulp before it can flip an ORDER BY comparison at the
