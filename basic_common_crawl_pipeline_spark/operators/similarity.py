@@ -360,20 +360,44 @@ def ivf_assign(
     # centroid norms are CONSTANTS — fold them driver-side
     # (bit-identical, see _py_norm); the 16 identical _norm(vec) folds
     # are shared by subexpression elimination, so each row pays ONE
-    # vector-norm fold + 16 dots instead of 33 folds.
+    # vector-norm fold + 16 dots instead of 33 folds. Built as SQL text
+    # (one F.expr parse): py4j composition of the 16×64-literal tree
+    # cost ~1.3 s of pure driver time per call (the _subspace_dists_sql
+    # lesson), shared by every IVF entry.
+    mul = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+    norm = (
+        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, {mul}), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
     scores = []
     for c in centroids:
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        scores.append(
-            round4(
-                _dot(F.col(vec_col), clit)
-                / (_norm(F.col(vec_col)) * _py_norm(c))
-            )
+        clit = "array(" + ", ".join(_sql_d(x) for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {clit}, {mul}), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-    arr = F.array(*scores)
-    return df.withColumn(
-        out_col,
-        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+        scores.append(
+            f"(floor((({dot}) / (({norm}) * {_sql_d(_py_norm(c))})) "
+            "* 10000 + 0.5D) / 10000)"
+        )
+    # two-step: materialize the score array in its OWN projection, then
+    # argmax from the column. Referencing the array expression directly
+    # in both array_position and array_max would duplicate the 16-fold
+    # tree — and interpreted higher-order functions get no codegen
+    # subexpression elimination (CLAUDE.md), so it would EXECUTE twice
+    # per row. CollapseProject keeps the split (non-cheap expression
+    # referenced more than once).
+    arr = "array(" + ", ".join(scores) + ")"
+    return (
+        df.withColumn("__ivf_scores", F.expr(arr))
+        .withColumn(
+            out_col,
+            F.expr(
+                "CAST(array_position(__ivf_scores, "
+                "array_max(__ivf_scores)) - 1 AS INT)"
+            ),
+        )
+        .drop("__ivf_scores")
     )
 
 
@@ -706,21 +730,40 @@ def pq_encode(
     if codebooks is None:
         codebooks = pq_codebooks()
     k = len(codebooks[0])
-    codes = []
-    for j, cb in enumerate(codebooks):
-        dists = _subspace_dists_sql(vec_col, j, cb)
-        codes.append(
-            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    m = len(codebooks)
+    # three-step projection chain so every fold runs ONCE per row:
+    # (1) per-subspace distance arrays as __pqd<j> columns (the folds),
+    # (2) pq_code argmins reading those columns, (3) pq_word packing
+    # read back from pq_code. Inlining instead would evaluate each
+    # distance array twice (argmin + position) and each code five times
+    # (array + packing) — interpreted HOFs get no codegen CSE.
+    dist_cols = {
+        f"__pqd{j}": F.expr(_subspace_dists_sql(vec_col, j, cb))
+        for j, cb in enumerate(codebooks)
+    }
+    code_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(array_position(__pqd{j}, array_min(__pqd{j})) - 1 "
+            "AS INT)"
+            for j in range(m)
         )
-    code_arr = F.expr("array(" + ", ".join(codes) + ")")
+        + ")"
+    )
     word = F.expr(
         "CAST(0 AS BIGINT) + "
         + " + ".join(
-            f"(CAST({c} AS BIGINT) * {int(k) ** j})"
-            for j, c in enumerate(codes)
+            f"(CAST(element_at(pq_code, {j + 1}) AS BIGINT)"
+            f" * {int(k) ** j})"
+            for j in range(m)
         )
     )
-    return df.withColumn("pq_code", code_arr).withColumn("pq_word", word)
+    return (
+        df.withColumns(dist_cols)
+        .withColumn("pq_code", code_arr)
+        .withColumn("pq_word", word)
+        .drop(*dist_cols)
+    )
 
 
 def pq_adc_table(
