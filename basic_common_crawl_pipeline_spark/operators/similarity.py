@@ -48,6 +48,25 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# SQL-text twins of _dot/_norm (identical arithmetic post-parse): the
+# literal-heavy score expressions are generated as strings and parsed
+# JVM-side in one F.expr call — py4j Column composition of a 64-element
+# literal array costs ~0.2 s per array on this host (see
+# _subspace_dists_sql for the full measurement).
+_SQL_MUL = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, {_SQL_MUL}), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(vec_col: str) -> str:
+    return f"sqrt({_dot_sql(f'`{vec_col}`', f'`{vec_col}`')})"
+
+
 def _py_norm(vec: list[float]) -> float:
     """Driver-side twin of ``_norm`` for CONSTANT vectors: the identical
     left-to-right double accumulation (0.0 + x²₀ + x²₁ + …) the JVM fold
@@ -68,15 +87,20 @@ def cosine_scores(
     vec_col: str = "embedding",
     out_col: str = "cos",
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     # the query norm is a CONSTANT: fold it in Python with the exact
     # same left-to-right double accumulation as _dot's JVM fold
     # (0.0 + x²₀ + x²₁ + …) — bit-identical, and the per-row plan drops
-    # one 64-element interpreted fold.
+    # one 64-element interpreted fold. Built as SQL text (one F.expr
+    # parse) — the _subspace_dists_sql py4j lesson.
     qn = _py_norm(query_vec)
+    qlit = "array(" + ", ".join(_sql_d(x) for x in query_vec) + ")"
     return df.withColumn(
         out_col,
-        round4((_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * qn))),
+        F.expr(
+            f"floor(((({_dot_sql(f'`{vec_col}`', qlit)})"
+            f" / (({_norm_sql(vec_col)}) * {_sql_d(qn)}))"
+            ") * 10000 + 0.5D) / 10000"
+        ),
     )
 
 
@@ -121,15 +145,22 @@ def rh_signature(
     out_col: str = "sig",
 ) -> DataFrame:
     """Packed signature: bit p = (round4(v·w_p) >= 0). The dot is rounded
-    before the sign test so the bit decision is cross-engine identical."""
-    sig = F.lit(0).cast("long")
+    before the sign test so the bit decision is cross-engine identical.
+    One F.expr parse (the _subspace_dists_sql py4j lesson)."""
+    bits = []
     for p_idx, w in enumerate(planes):
-        wlit = F.array(*[F.lit(float(x)) for x in w])
-        dot = round4(_dot(F.col(vec_col), wlit))
-        sig = sig + F.when(
-            dot >= 0, F.lit(1 << p_idx).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, sig)
+        wlit = "array(" + ", ".join(_sql_d(x) for x in w) + ")"
+        dot = (
+            f"(floor(({_dot_sql(f'`{vec_col}`', wlit)}) * 10000 + 0.5D)"
+            " / 10000)"
+        )
+        bits.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({1 << p_idx} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return df.withColumn(
+        out_col, F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
+    )
 
 
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -364,18 +395,11 @@ def ivf_assign(
     # (one F.expr parse): py4j composition of the 16×64-literal tree
     # cost ~1.3 s of pure driver time per call (the _subspace_dists_sql
     # lesson), shared by every IVF entry.
-    mul = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
-    norm = (
-        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, {mul}), "
-        "0.0D, (acc, x) -> acc + x))"
-    )
+    norm = _norm_sql(vec_col)
     scores = []
     for c in centroids:
         clit = "array(" + ", ".join(_sql_d(x) for x in c) + ")"
-        dot = (
-            f"aggregate(zip_with(`{vec_col}`, {clit}, {mul}), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
+        dot = _dot_sql(f"`{vec_col}`", clit)
         scores.append(
             f"(floor((({dot}) / (({norm}) * {_sql_d(_py_norm(c))})) "
             "* 10000 + 0.5D) / 10000)"
