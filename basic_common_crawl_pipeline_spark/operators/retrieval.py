@@ -116,6 +116,10 @@ def write_inverted_index(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
         )
+        # bucket geometry rides in the meta row (the snapshot store's
+        # bloom_params discipline): a probe hashing with a different B
+        # would silently open the wrong partitions
+        .withColumn("n_buckets", F.lit(int(num_buckets)))
         .write.mode("overwrite")
         .parquet(path + "/meta")
     )
@@ -144,7 +148,6 @@ def bm25_topk_indexed(
     path: str,
     terms: tuple[str, ...],
     k: int = 10,
-    num_buckets: int = 64,
 ) -> DataFrame:
     """BM25 top-k over a ``write_inverted_index`` layout. The probe is
     ``bucket IN (buckets of the query terms)`` — a PARTITION-column
@@ -160,7 +163,9 @@ def bm25_topk_indexed(
     probed volume is the posting lists of the query terms — independent
     of corpus width."""
     meta = spark.read.parquet(path + "/meta").collect()[0]  # one row
-    buckets = sorted(set(term_buckets(spark, terms, num_buckets).values()))
+    buckets = sorted(
+        set(term_buckets(spark, terms, int(meta["n_buckets"])).values())
+    )
     post = (
         spark.read.parquet(path + "/postings")
         .filter(F.col("bucket").isin(buckets))
