@@ -551,6 +551,7 @@ def span_dedup(
     text_col: str = "text",
     n: int = 5,
     id_scale: int = 1_000_000,
+    strategy: str = "window",
 ) -> DataFrame:
     """Exact duplicate-SPAN removal — substring-level dedup in the
     Lee-et-al. "Deduplicating Training Data" discipline, one level below
@@ -575,11 +576,19 @@ def span_dedup(
     shuffles until the final reassembly groupBy on the unique document
     id. Per-document windows are bounded by document length, never by
     corpus skew; a boilerplate gram repeated 10^9 times is one hot
-    window cell — the same skew class as any dedup hash shuffle (AQE
-    skew handling; at the extreme, pre-filter the Zipf head like
-    ``_cap_cells``). ``id_scale`` packs (id, pos) into one BIGINT for
-    the cross-engine-exact first-occurrence min; ids must be
-    non-negative and documents shorter than ``id_scale`` tokens.
+    window cell for the default ``strategy="window"`` (one task holds
+    the whole gram group — fine up to AQE skew limits, and the gram
+    table is constructed exactly once). ``strategy="grouped"`` marks
+    duplicates with a map-side-combined ``groupBy(__h).agg(min)`` plus
+    a join back instead: no task ever holds a whole gram group (partial
+    mins combine before the exchange), at the price of constructing the
+    gram table twice — a measured 1.8× loss at gate scale where no gram
+    is hot, which is why it is not the default. Same ``strategy=``
+    convention as operators/temporal.py::asof_join; both are
+    output-equal (pytest on a boilerplate-heavy corpus). ``id_scale``
+    packs (id, pos) into one BIGINT for the cross-engine-exact
+    first-occurrence min; ids must be non-negative and documents
+    shorter than ``id_scale`` tokens.
     """
     from pyspark.sql import Window
 
@@ -592,13 +601,16 @@ def span_dedup(
         F.posexplode(word_ngrams(text_col, n)).alias("__pos", "__gram"),
     ).select(id_col, "__pos", _hash64_expr(F.col("__gram")).alias("__h"))
     packed = F.col(id_col).cast("long") * id_scale + F.col("__pos")
-    dupw = (
-        grams.withColumn(
+    if strategy == "window":
+        marked = grams.withColumn(
             "__first", F.min(packed).over(Window.partitionBy("__h"))
         )
-        .filter(packed != F.col("__first"))
-        .select(id_col, "__pos")
-    )
+    elif strategy == "grouped":
+        firsts = grams.groupBy("__h").agg(F.min(packed).alias("__first"))
+        marked = grams.join(firsts, "__h")
+    else:
+        raise ValueError(f"unknown span_dedup strategy: {strategy!r}")
+    dupw = marked.filter(packed != F.col("__first")).select(id_col, "__pos")
     w = Window.partitionBy(id_col).orderBy("__pos")
     isl = dupw.withColumn(
         "__brk",

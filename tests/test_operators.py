@@ -1401,3 +1401,39 @@ def test_session_window_streams_and_merges_across_microbatches(
         output_mode="complete",
     )
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_span_dedup_grouped_strategy_equals_window(spark):
+    """The hot-gram-safe strategy="grouped" (map-side-combined
+    groupBy-min + join back — no task ever holds a whole gram group)
+    is output-equal to the default window mark on a boilerplate-heavy
+    corpus where ONE 5-gram appears in half the docs, and its physical
+    plan really is the safe shape: partial_min below the exchange, no
+    window over the gram hash."""
+    from basic_common_crawl_pipeline_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved contact us"
+    rows = [
+        (i, f"{boiler} unique tail {i} alpha beta")
+        if i % 2 == 0
+        else (i, f"original body {i} gamma delta epsilon zeta eta")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(map(tuple, span_dedup(df, n=5).collect()))
+    got_df = span_dedup(df, n=5, strategy="grouped")
+    assert sorted(map(tuple, got_df.collect())) == want
+    # the first boilerplate doc keeps the phrase; every later one loses it
+    by_id = {t[0]: t for t in want}
+    assert by_id[0][5].startswith(boiler)
+    assert by_id[2][5].startswith("unique tail") or boiler not in by_id[2][5]
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    first, _, rest = plan.partition("windowspecdefinition")
+    assert "__h" not in rest.split(")")[0]  # no window keyed on the hash
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_dedup(df, strategy="bogus")
