@@ -812,6 +812,22 @@ def pq_adc_table(
     return lut
 
 
+def _adc_expr(lut: list[list[float]]) -> Column:
+    """The asymmetric-distance Column over a ``pq_code`` column: m
+    lookup-table reads (all literals) summed left-to-right from a 0.0
+    seed — one F.expr parse, shared by the full-scan and IVF-pruned
+    ADC paths so their distance values are bit-identical."""
+    return F.expr(
+        "0.0D + "
+        + " + ".join(
+            "element_at(array("
+            + ", ".join(_sql_d(v) for v in row)
+            + f"), element_at(pq_code, {j + 1}) + 1)"
+            for j, row in enumerate(lut)
+        )
+    )
+
+
 def pq_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -833,15 +849,7 @@ def pq_topk(
         codebooks = pq_codebooks()
     lut = pq_adc_table(query_vec, codebooks)
     enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    adist = F.expr(
-        "0.0D + "
-        + " + ".join(
-            "element_at(array("
-            + ", ".join(_sql_d(v) for v in row)
-            + f"), element_at(pq_code, {j + 1}) + 1)"
-            for j, row in enumerate(lut)
-        )
-    )
+    adist = _adc_expr(lut)
     # round4 the summed ADC distance: the 8 addends are round4 literals
     # on both engines, but the SUM order is fold-vs-aggregate — absorb
     # the ulp before it can flip an ORDER BY comparison at the
@@ -852,6 +860,76 @@ def pq_topk(
         .limit(shortlist)
     )
     rerank = df.join(F.broadcast(short), id_col)
+    scored = cosine_scores(rerank, list(query_vec), vec_col=vec_col)
+    return (
+        scored.select(id_col, "adist", "cos")
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF-PQ physical layout — the canonical 10^10-vector serving
+    shape (FAISS ``IVFx,PQy`` restated as a parquet layout): every
+    vector is coarse-assigned to an inverted list (``ivf_assign``) and
+    stored in that list's PARTITION as its 4-byte PQ code word only
+    (``pq_encode``; the raw vectors stay in the source table, touched
+    only by the rerank). A probe therefore (1) prunes to nprobe
+    partitions and (2) scans 4 B/row inside them — the two multipliers
+    that make 10^10 vectors searchable: ~nprobe/n_lists of the rows,
+    at 1/16th the bytes each."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col)
+    (
+        enc.select(id_col, "pq_code", "pq_word", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    raw_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over a ``write_ivfpq_partitioned`` layout: the
+    nprobe closest inverted lists (driver-side centroid arithmetic —
+    metadata, not data) become a PARTITION-column predicate; inside the
+    probed partitions the ADC scan reads ONLY the codes (``_adc_expr``
+    — identical distances to the full-scan ``pq_topk``); deterministic
+    TakeOrdered ``shortlist`` by (adist, id); exact round4-cosine
+    rerank of the shortlist rows via a broadcast join against the raw
+    table. Returns (id, adist, cos) for the top ``k`` by (cos desc,
+    id)."""
+    if centroids is None:
+        centroids = ivf_centroids()
+    if codebooks is None:
+        codebooks = pq_codebooks()
+    probe = _select_probe_lists(query_vec, centroids, nprobe)
+    lut = pq_adc_table(query_vec, codebooks)
+    codes = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    short = (
+        codes.select(F.col(id_col), round4(_adc_expr(lut)).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    rerank = raw_df.join(F.broadcast(short), id_col)
     scored = cosine_scores(rerank, list(query_vec), vec_col=vec_col)
     return (
         scored.select(id_col, "adist", "cos")

@@ -2662,6 +2662,89 @@ def ann_pq_topk(spark, sf_dir):
     return similarity.pq_topk(emb, list(qvec), _PQ_CB, k=10, shortlist=50)
 
 
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH {_SQL_IVF_ASSIGN},
+    {_SQL_PQ_CODES.lstrip()},
+    qe AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+    qd AS (
+      SELECT c.cent_id,
+             {_r4(
+                 "sum(CAST(qe.embedding[s.i] AS DOUBLE) * c.w[s.i])"
+                 " / (sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE)"
+                 " * CAST(qe.embedding[s.i] AS DOUBLE)))"
+                 " * sqrt(sum(c.w[s.i] * c.w[s.i])))"
+             )} AS cos
+      FROM cents c CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY c.cent_id
+    ),
+    probes AS (SELECT cent_id FROM qd ORDER BY cos DESC, cent_id LIMIT 4),
+    probed AS (
+      SELECT a.vec_id FROM assign a JOIN probes p ON a.list_id = p.cent_id
+    ),
+    lutd AS (
+      SELECT cb.j, cb.c,
+             {_r4("sum((CAST(qe.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i]) * (CAST(qe.embedding[cb.j * 8 + s.i] AS DOUBLE) - cb.w[s.i]))")} AS dist
+      FROM qe
+      CROSS JOIN cb
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS i) s
+      GROUP BY cb.j, cb.c
+    ),
+    adc AS (
+      SELECT p.vec_id, {_r4("sum(l.dist)")} AS adist
+      FROM pcodes p
+      JOIN probed pr ON p.vec_id = pr.vec_id
+      JOIN lutd l ON p.j = l.j AND p.code = l.c
+      GROUP BY p.vec_id
+    ),
+    short AS (SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 50),
+    d AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE))) AS ne,
+             sqrt(sum(CAST(qe.embedding[s.i] AS DOUBLE) * CAST(qe.embedding[s.i] AS DOUBLE))) AS nq
+      FROM embeddings e
+      JOIN short ON e.vec_id = short.vec_id
+      CROSS JOIN qe
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY e.vec_id
+    )
+    SELECT d.vec_id, short.adist, {_r4("dot / (ne * nq)")} AS cos
+    FROM d JOIN short ON d.vec_id = short.vec_id
+    ORDER BY cos DESC, d.vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search — the canonical 10^10-vector serving shape (FAISS
+    IVFx,PQy restated for parquet; operators/similarity.py::
+    write_ivfpq_partitioned / ivfpq_topk): the layout partitions the
+    4-byte PQ code words by coarse inverted list, so a query (1)
+    PRUNES to its nprobe=4 list partitions and (2) ADC-scans only the
+    codes inside them (~nprobe/n_lists of the rows at 1/16th the
+    bytes), then exact-cosine reranks the 50-row shortlist via a
+    broadcast join against the raw table. The oracle composes the IVF
+    assignment and PQ code CTEs verbatim and restricts the ADC scan to
+    the probed lists — distances are bit-identical to the full-scan PQ
+    entry (_adc_expr is one shared builder)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
+    path = _memo_layout(
+        spark,
+        sf_dir,
+        "emb_ivfpq_layout",
+        lambda p: similarity.write_ivfpq_partitioned(
+            load(spark, sf_dir, "embeddings"), p,
+            centroids=_IVF_CENTROIDS, codebooks=_PQ_CB,
+        ),
+    )
+    return similarity.ivfpq_topk(
+        spark, path, emb, list(qvec), k=10, nprobe=4, shortlist=50,
+        centroids=_IVF_CENTROIDS, codebooks=_PQ_CB,
+    )
+
+
 # ===========================================================================
 # F2. link-graph analytics (iterative): fixed-point PageRank
 # ===========================================================================
@@ -4068,6 +4151,13 @@ _RUN_LAST = [
     # crawl_wave_flagship (which execute first, with a full oracle on
     # the former).
     "j1_fetch_join",
+    # demoted for ann_ivfpq_topk (the IVF-PQ layout's first driver
+    # row): the row-filter IVF probe is the least informative of the
+    # IVF family now — ann_cosine_topk_ivf_partitioned runs the SAME
+    # oracle in-gate over the partitioned layout, ann_ivf_assign pins
+    # the assignment, and the new IVF-PQ entry exercises the probe
+    # list selection end to end.
+    "ann_cosine_topk_ivf",
 ]
 
 

@@ -529,3 +529,58 @@ def test_bm25_index_layout_partition_pruning(spark, tmp_path):
     }
     assert opened <= want_buckets
     assert len(all_parts) > len(want_buckets)  # genuinely pruned
+
+
+def test_ivfpq_layout_partition_pruning_and_codes_only_scan(spark, tmp_path):
+    """The IVF-PQ layout gives a query BOTH scale multipliers: the
+    nprobe membership test sits on the list_id PARTITION column
+    (PartitionFilters — only probed list directories open), and the
+    ADC scan's ReadSchema carries only the id and code columns (4 B/row
+    — never the raw embedding, which is touched only by the broadcast
+    rerank against the source table)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators import similarity
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        _IVF_CENTROIDS,
+        _PQ_CB,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_layout")
+    similarity.write_ivfpq_partitioned(
+        emb, path, centroids=_IVF_CENTROIDS, codebooks=_PQ_CB
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 5)
+            .select("embedding").take(1)[0][0]]
+    probe = similarity._select_probe_lists(qvec, _IVF_CENTROIDS, 4)
+
+    out = similarity.ivfpq_topk(
+        spark, path, emb, qvec, k=10, nprobe=4,
+        centroids=_IVF_CENTROIDS, codebooks=_PQ_CB,
+    )
+    plan = _plan(out)
+    # several scans appear (codes + the rerank's raw-table scan, whose
+    # PartitionFilters is empty) — the CODES scan must carry the probe
+    pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("list_id" in pf and " IN " in pf for pf in pfs), plan
+    # the codes scan reads codes, not vectors
+    code_scan = [
+        seg.split("ReadSchema:")[1].splitlines()[0]
+        for seg in plan.split("FileScan parquet")[1:]
+        if "pq_code" in seg.split("ReadSchema:")[1].splitlines()[0]
+    ]
+    assert code_scan and all("embedding" not in s for s in code_scan)
+    # behavioral pruning: only probed list directories are opened
+    codes = spark.read.parquet(path).filter(
+        F.col("list_id").isin(sorted(probe))
+    )
+    opened = {
+        int(re.search(r"list_id=(\d+)", r[0]).group(1))
+        for r in codes.select(F.input_file_name()).distinct().collect()
+    }
+    assert opened <= set(probe) and len(opened) <= 4
+    # the probed shortlist reranks to exactly the oracle-checked top-k
+    assert out.count() == 10
