@@ -361,7 +361,8 @@ def j5_range_join(spark, sf_dir):
              count(*), sum(cents), min(cents), max(cents)
       FROM ev GROUP BY 2, 3
     )
-    SELECT level, bucket_us, key, n, sum_units, min_units, max_units
+    SELECT level, bucket_us, key, n,
+           CAST(sum_units AS BIGINT) AS sum_units, min_units, max_units
     FROM lv
     """,
 )
@@ -1145,7 +1146,8 @@ def text_decontaminate(spark, sf_dir):
       FROM (SELECT doc_id, unnest(grams) AS g FROM g) GROUP BY doc_id, g
     ),
     t AS (
-      SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct,
              max(cnt) AS top_count
       FROM c GROUP BY doc_id
     )
@@ -1244,9 +1246,9 @@ def text_sample_rebalance(spark, sf_dir):
     WITH t AS (SELECT doc_id, len({SQL_TOKS}) AS n_tok FROM documents),
     s AS (
       SELECT doc_id, n_tok,
-             coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+             CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS start_off
+               AS BIGINT) AS start_off
       FROM t
     )
     SELECT doc_id, n_tok, start_off,

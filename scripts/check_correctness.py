@@ -87,12 +87,26 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
+            # The external driver materializes the oracle via pandas/
+            # Arrow, where DuckDB HUGEINT (any uncast sum()) becomes
+            # float64/decimal128 and hash-mismatches vs Spark BIGINT
+            # even though fetchall() would agree.  Fail loudly here so
+            # the class is locally reproducible (round-4 verdict #1).
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if str(t).upper().startswith(("HUGEINT", "DECIMAL", "UHUGEINT"))
+            ]
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
+        if bad_types:
+            problems.append(
+                f"oracle emits driver-hostile types {bad_types} "
+                "(CAST ... AS BIGINT/DOUBLE)"
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
