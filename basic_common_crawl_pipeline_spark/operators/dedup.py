@@ -14,6 +14,7 @@ Design for 10^10-document scale:
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -510,9 +511,16 @@ def line_dedup(
     by the 60-bit hash on BOTH engines (operator and oracle), so
     cross-engine equality is by construction, not collision-probability.
     """
+    # ``sep`` is a LITERAL separator; F.split takes a Java regex, so
+    # escape it (re.escape backslash-quotes punctuation only, which Java
+    # regex reads identically) — an unescaped '.', '|' or '\r\n'-style
+    # caller value would otherwise split per-character or wrong.
+    sep_re = re.escape(sep)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_re)
+        ).alias("__pos", "__line"),
     ).withColumn("__h", _hash64_expr(F.col("__line")))
     dup = (
         lines.filter(F.col("__line") != "")

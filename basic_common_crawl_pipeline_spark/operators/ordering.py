@@ -33,6 +33,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+def check_pid_layout(parted: DataFrame, n_parts: int, seen_pids) -> None:
+    """Loud invariant for every two-phase ``spark_partition_id()`` shape
+    (keyed_prefix_sum, asof_join, global sequencer): the driver-side
+    summary was computed for one physical partition layout, and the
+    consumer's window/join applies it BY ``__pid`` — a layout change
+    between the two executions silently misnumbers rows. Stability rests
+    on (a) an EXPLICIT repartition count (AQE-coalescing-exempt) and
+    (b) an internal persist whose storage level spills to DISK rather
+    than evicting to recompute (re-executing the range sampler can move
+    boundaries). This check turns a violated assumption into an error:
+
+    - the materialized frame must not exceed the requested partition
+      count (the range partitioner may deterministically produce FEWER
+      on tiny/low-cardinality inputs — that is fine and stable — but
+      MORE means the explicit count was re-planned);
+    - every summary pid must lie in ``[0, actual)`` of the materialized
+      frame — a pid outside it means the summary execution saw a
+      different layout than the cached blocks the consumer will read.
+    """
+    actual = parted.rdd.getNumPartitions()
+    if actual > n_parts:
+        raise AssertionError(
+            f"two-phase pid layout violated: requested {n_parts} "
+            f"partitions but the materialized frame has {actual} — "
+            "explicit-count repartition was coalesced/re-planned; "
+            "__pid-keyed carry state would misnumber rows"
+        )
+    bad = sorted({p for p in seen_pids if not 0 <= p < actual})
+    if bad:
+        raise AssertionError(
+            f"two-phase pid layout violated: summary pids {bad} outside "
+            f"[0, {actual}) — spark_partition_id() drifted between "
+            "executions (persist storage level must not evict to "
+            "recompute)"
+        )
+
+
 def global_seq_sorted(
     df: DataFrame,
     order_cols: list[str],

@@ -29,9 +29,12 @@ crossing anywhere.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .ordering import check_pid_layout
 
 
 _ROLLUP_LEVELS = ("minute", "hour", "day")
@@ -251,10 +254,14 @@ def asof_join(
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # persist is LOAD-BEARING (MEMORY_AND_DISK spills, never evicts to
+    # recompute — a recompute re-runs the range sampler and can renumber
+    # __pid between the summary and fill executions); check_pid_layout
+    # below turns any layout drift into a loud error.
     parted = (
         un.repartitionByRange(n_parts, on, "__ts", "__side", "__ord")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     if cache is not None:
         cache.append(parted)
@@ -288,6 +295,7 @@ def asof_join(
         ).alias("__pack"),
     )
     summaries = sorted(summ.collect(), key=lambda s: s["__pid"])
+    check_pid_layout(parted, n_parts, [s["__pid"] for s in summaries])
 
     # driver prefix-scan (≤ #partitions rows): thread (state_key,
     # state_pack) = the globally latest right row seen so far. Keys are

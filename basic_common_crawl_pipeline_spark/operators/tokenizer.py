@@ -134,8 +134,14 @@ def bpe_train(
     interpreted expression (the CLAUDE.md iterative-lineage rule; total
     work would be O(k²) folds). At most two round frames are live at
     once — grandparents retire as soon as their child is materialized.
-    Pass ``cache`` to own the final unpersists, same convention as
-    operators/training.py::pack_token_stream."""
+    Pass ``cache`` to own ALL the unpersists, same convention as
+    operators/training.py::pack_token_stream. With ``cache=None`` the
+    function self-cleans instead: the final frame is materialized with
+    one cheap count (the word table is the Zipf-collapsed DISTINCT-word
+    set, not the corpus) so its persisted parent can be released without
+    re-running every prior fold — only the RETURNED words frame stays
+    persisted, and ownership of that one unpersist passes to the
+    caller."""
     wf = (
         word_frequency_table(df, text_col)
         .withColumn("syms", _chars(F.col("word")))
@@ -190,6 +196,13 @@ def bpe_train(
             cache.append(new_wf)
         retire, wf = wf, new_wf
 
+    if cache is None and retire is not None:
+        # self-clean (no cache list to hand ownership to): the final
+        # round's frame was persisted but never materialized — count it
+        # (tiny: distinct words) so dropping its parent can't trigger an
+        # O(k²) fold replay, then release the parent.
+        wf.count()
+        retire.unpersist()
     return merges, wf.select("word", "freq", "syms")
 
 

@@ -31,10 +31,12 @@ text" and "tokenized batches":
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import word_ngrams, word_tokens
+from .ordering import check_pid_layout
 
 
 def decontaminate(
@@ -188,10 +190,17 @@ def keyed_prefix_sum(
     there."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # The persist is LOAD-BEARING, not an optimization: __pid must be
+    # identical in the summary execution and the output execution, and
+    # the default MEMORY_AND_DISK level guarantees that by SPILLING
+    # instead of evicting-to-recompute (a recompute re-runs the range
+    # sampler and can renumber partitions). Weakening this to a
+    # MEMORY_ONLY level would make misnumbering silent — which is why
+    # check_pid_layout() below fails loudly on any layout drift.
     parted = (
         df.repartitionByRange(n_parts, *key_cols, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     if cache is not None:
         cache.append(parted)
@@ -199,10 +208,12 @@ def keyed_prefix_sum(
     stats = parted.groupBy("__pid", *key_cols).agg(
         F.sum(F.col(value_col).cast("long")).alias("__v")
     )
+    rows = stats.collect()
+    check_pid_layout(parted, n_parts, [r["__pid"] for r in rows])
     acc: dict[tuple, int] = {}
     bases = []
     for row in sorted(
-        stats.collect(), key=lambda r: (r["__pid"],)
+        rows, key=lambda r: (r["__pid"],)
     ):
         k = tuple(row[c] for c in key_cols)
         bases.append((row["__pid"], *k, acc.get(k, 0)))

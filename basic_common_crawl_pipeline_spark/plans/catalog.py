@@ -3514,12 +3514,46 @@ def latest_capture_dedup(spark, sf_dir):
     return latest_capture(caps, ts_col="warc_ts").select("url", "warc_ts", "digest")
 
 
-@register("crawl_wave_flagship")  # no SQL oracle: UDF extraction inside
+@register(
+    "crawl_wave_flagship",
+    """
+    WITH seeds AS (
+      SELECT doc_id, text,
+             'src' || (doc_id % 20) AS shost,
+             'test,src' || (doc_id % 20) || ')/doc/' || doc_id AS surt,
+             (doc_id % 10 < 8 AND lang = 'en') AS eligible
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    elig AS (
+      SELECT doc_id, text, shost, surt,
+             row_number() OVER (PARTITION BY shost ORDER BY surt) AS rnk,
+             CASE WHEN shost = 'src0' THEN 8 ELSE 16 END AS budget
+      FROM seeds WHERE eligible
+    )
+    SELECT CAST(0 AS INTEGER) AS wave,
+           'http://' || shost || '.test/doc/' || doc_id AS canon_url,
+           shost || '.test' AS host,
+           CAST(0 AS INTEGER) AS priority,
+           CAST(105 + length(CAST(doc_id AS VARCHAR)) + 8 * length(text)
+                AS BIGINT) AS text_len
+    FROM elig WHERE rnk <= budget
+    """,
+)
 def crawl_wave_flagship(spark, sf_dir):
     """The flagship: one frontier-expansion wave over pages derived from
     the documents table. Full semantics verified against the single-node
     oracle in tests/test_crawl_e2e.py (crawl order, seen set,
-    byte-identical text)."""
+    byte-identical text).
+
+    The SQL oracle replays wave 0 row-level from the generator
+    arithmetic, the same CTE chain crawl_metrics replays at counter
+    level: seeds = doc_id %% 29, eligibility = status 200 (doc_id %% 10
+    < 8) AND lang 'en', politeness budget = wave_seconds/crawl_delay
+    (src0 delays 2.0 → 8, others 16) applied per host in (priority,
+    surt) order. text_len is CLOSED-FORM because the synthesized page's
+    extraction is: 'doc\\nDoc {id}\\n' + 8×'section {j} {text}\\n' +
+    'n1 n2 n3' → 105 + len(str(doc_id)) + 8*len(text) bytes (documents
+    text is pure ASCII at every sf, so DuckDB length == bytes)."""
     from .config import CrawlConfig
     from .wave import empty_seen, frontier_from_seeds, run_wave
 
@@ -3795,8 +3829,17 @@ def text_bpe_tokenize(spark, sf_dir):
     from ..operators.tokenizer import bpe_segment_words, bpe_train
 
     docs = load(spark, sf_dir, "documents")
-    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES)
-    return bpe_segment_words(docs, words)
+    cache: list = []
+    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES, cache=cache)
+    # snapshot the tiny dictionary (distinct words) as an eager local
+    # checkpoint so every training round's persisted frame can retire
+    # NOW — nothing leaks into the long-lived session, and the returned
+    # query depends only on the checkpointed blocks (ContextCleaner
+    # frees those once the frame is unreferenced).
+    dict_ckpt = words.select("word", "syms").localCheckpoint()
+    for f in cache:
+        f.unpersist()
+    return bpe_segment_words(docs, dict_ckpt)
 
 
 @register(

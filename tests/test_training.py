@@ -544,3 +544,32 @@ def test_keyed_prefix_sum_null_keys_survive(spark):
     for c in cache:
         c.unpersist()
     assert got == {1: 0, 2: 5, 3: 0}
+
+
+def test_pid_layout_guard_fires_on_drift(spark):
+    """check_pid_layout is the loud version of the two-phase prefix-sum
+    persist dependency (keyed_prefix_sum / asof_join): a coalesced or
+    re-planned layout, or a summary pid outside the requested range,
+    must raise instead of silently misnumbering carry state."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.operators.ordering import (
+        check_pid_layout,
+    )
+
+    df = (
+        spark.range(100)
+        .repartitionByRange(4, "id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        pids = [r["__pid"] for r in df.select("__pid").distinct().collect()]
+        check_pid_layout(df, 4, pids)  # healthy layout passes
+        with _pytest.raises(AssertionError, match="coalesced"):
+            check_pid_layout(df, 2, pids)  # actual exceeds requested
+        with _pytest.raises(AssertionError, match="drifted"):
+            check_pid_layout(df, 4, [0, 7])  # pid outside the layout
+    finally:
+        df.unpersist()
