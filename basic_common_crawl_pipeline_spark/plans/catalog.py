@@ -1434,7 +1434,9 @@ def text_span_dedup(spark, sf_dir):
     (gaps-and-islands on BOTH engines), survivors reassembled in order.
     The corpus has organic duplicate 5-grams (exact-duplicate documents
     and shared phrases), so the output exercises every branch: full
-    survivals, partial spans, and fully-duplicated docs → ''."""
+    survivals, partial spans, and fully-duplicated docs → ''. Runs the
+    default hot-gram-safe grouped mark (cached gram table, map-side
+    combine — no per-gram window task; plan-pinned)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.span_dedup(docs, "doc_id", "text", n=5)
 

@@ -1404,12 +1404,14 @@ def test_session_window_streams_and_merges_across_microbatches(
 
 
 def test_span_dedup_grouped_strategy_equals_window(spark):
-    """The hot-gram-safe strategy="grouped" (map-side-combined
-    groupBy-min + join back — no task ever holds a whole gram group)
-    is output-equal to the default window mark on a boilerplate-heavy
-    corpus where ONE 5-gram appears in half the docs, and its physical
-    plan really is the safe shape: partial_min below the exchange, no
-    window over the gram hash."""
+    """The DEFAULT strategy is the hot-gram-safe grouped mark
+    (map-side-combined groupBy-min over the cached gram table + dup-only
+    join back — no task ever holds a whole gram group): output-equal to
+    the opt-in window mark on a boilerplate-heavy corpus where ONE
+    5-gram appears in half the docs, and the default physical plan
+    really is the safe shape: partial_min below the exchange, no window
+    over the gram hash (a boilerplate gram must never serialize through
+    a single window task)."""
     from basic_common_crawl_pipeline_spark.operators.dedup import span_dedup
 
     boiler = "all rights reserved contact us"
@@ -1420,9 +1422,14 @@ def test_span_dedup_grouped_strategy_equals_window(spark):
         for i in range(40)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    want = sorted(map(tuple, span_dedup(df, n=5).collect()))
-    got_df = span_dedup(df, n=5, strategy="grouped")
+    want = sorted(
+        map(tuple, span_dedup(df, n=5, strategy="window").collect())
+    )
+    cache: list = []
+    got_df = span_dedup(df, n=5, cache=cache)  # default path
     assert sorted(map(tuple, got_df.collect())) == want
+    for f in cache:
+        f.unpersist()
     # the first boilerplate doc keeps the phrase; every later one loses it
     by_id = {t[0]: t for t in want}
     assert by_id[0][5].startswith(boiler)

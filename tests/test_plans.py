@@ -461,9 +461,10 @@ def test_training_ops_physical_plans(spark):
 
 def test_round4_continuation_physical_plans(spark):
     """Scale contracts of the round-4 continuation ops, pinned:
-    span dedup marks duplicates with ONE window over the gram hash
-    (never a groupBy-firsts + join-back, which recomputes the
-    interpreted gram construction on both sides); incremental dedup
+    span dedup's DEFAULT path is the hot-gram-safe grouped mark — a
+    map-side-combined groupBy-min over the CACHED gram table (partial
+    aggregation below the exchange, so no task ever holds a whole gram
+    group) and NO window keyed on the gram hash; incremental dedup
     broadcasts the new-wave side into every join against the old corpus
     (the fat side must never sort-merge) and keeps the hot-cell
     LeftAnti guard + candidate-id LeftSemi restriction; the quality
@@ -472,8 +473,9 @@ def test_round4_continuation_physical_plans(spark):
     from basic_common_crawl_pipeline_spark.plans.catalog import QUERIES
 
     p = _plan(QUERIES["text_span_dedup"](spark, SF))
-    assert "windowspecdefinition(__h" in p
-    assert "SortMergeJoin" not in p
+    assert "windowspecdefinition(__h" not in p  # skew-safe default
+    assert "partial_min" in p  # map-side combine below the exchange
+    assert "InMemoryTableScan" in p  # gram table built once, cached
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
 
     p = _plan(QUERIES["dedup_incremental"](spark, SF))
