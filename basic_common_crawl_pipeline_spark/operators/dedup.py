@@ -224,10 +224,23 @@ def minhash_lsh_dedup(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     cell_cap: int | None = 100_000,
+    cache: list | None = None,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline → (a, b, jaccard ≥ t)."""
-    shingles = shingle_table(df, id_col, text_col, shingle_n)
-    sigs = minhash_signatures(shingles, bands * rows_per_band)
+    """Full MinHash→LSH→verify near-dup pipeline → (a, b, jaccard ≥ t).
+
+    Shingles and signatures are persisted internally: the shingle table
+    is consumed FOUR times (signature agg, both sides of the exact-
+    Jaccard intersection join, sizes) and the signature table three
+    (both self-join sides plus the hot-cell count), so without the
+    caches the interpreted shingle construction re-runs for each —
+    measured 17%% on the whole pipeline at sf0.1 (interleaved best-of-3,
+    5.5 vs 6.7 s at local[32]), and the ``cell_cap`` guard's count job
+    reads cached blocks instead of re-deriving the signature lineage.
+    Pass ``cache`` to own the unpersists (asof_join convention)."""
+    shingles = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sigs = minhash_signatures(shingles, bands * rows_per_band).persist()
+    if cache is not None:
+        cache += [shingles, sigs]
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, cell_cap)
     return jaccard_for_pairs(shingles, cands).filter(
         F.col("jaccard") >= threshold
