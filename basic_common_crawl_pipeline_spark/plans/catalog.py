@@ -2003,12 +2003,15 @@ def dedup_neardup_clusters(spark, sf_dir):
     # round (and reference it twice per round via the undirected union),
     # so without a leaf here the full MinHash/LSH/Jaccard lineage is
     # copied ~30x into one plan (same rule as link_pagerank's edges)
+    mh_cache: list = []
     pairs = dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
-        threshold=0.2,
+        threshold=0.2, cache=mh_cache,
     ).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).localCheckpoint(eager=True)
+    for f in mh_cache:  # checkpoint is eager: internal caches retire now
+        f.unpersist()
     return label_propagation_min(
         pairs, iterations=4, nodes=docs.select("doc_id")
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
@@ -2049,12 +2052,15 @@ def dedup_neardup_apply(spark, sf_dir):
     # round (and reference it twice per round via the undirected union),
     # so without a leaf here the full MinHash/LSH/Jaccard lineage is
     # copied ~30x into one plan (same rule as link_pagerank's edges)
+    mh_cache: list = []
     pairs = dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=2,
-        threshold=0.2,
+        threshold=0.2, cache=mh_cache,
     ).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).localCheckpoint(eager=True)
+    for f in mh_cache:  # checkpoint is eager: internal caches retire now
+        f.unpersist()
     keep = (
         label_propagation_min(pairs, iterations=4, nodes=docs.select("doc_id"))
         .filter(F.col("node") == F.col("label"))
