@@ -156,3 +156,49 @@ def test_auto_compaction_long_crawl(spark, tmp_path):
         (r["seq"], r["wave"], r["url"]) for r in want.crawl_order
     ]
     assert seen2 == want.seen
+
+
+def test_time_travel_reads_reproduce_run_prefixes(spark, tmp_path):
+    """Iceberg-semantics TIME TRAVEL: ``read_table(..., snapshot=k)``
+    reads any table exactly as of snapshot k — equal to a fresh crawl
+    stopped after k waves (which resume-determinism already proves is
+    the canonical prefix). Pins the manifest-pointer contract: older
+    manifests stay readable after later commits, and append-table reads
+    at k see exactly the first k deltas."""
+    corpus = synth_corpus(n_pages=150, n_hosts=4, seed=3, n_seeds=6)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+    store = SnapshotStore(str(tmp_path / "tt"))
+    run_crawl(
+        spark, pages, seeds, robots,
+        CrawlConfig(wave_seconds=8.0, max_waves=3, salt_partitions=3),
+        store=store,
+    )
+    assert store.current_snapshot() == 3
+
+    def order_rows(df):
+        return sorted(
+            (r["seq"], r["wave"], r["url"])
+            for r in df.select("seq", "wave", "url").collect()
+        )
+
+    for k in (1, 2, 3):
+        prefix_store = SnapshotStore(str(tmp_path / f"prefix{k}"))
+        run_crawl(
+            spark, pages, seeds, robots,
+            CrawlConfig(wave_seconds=8.0, max_waves=k, salt_partitions=3),
+            store=prefix_store,
+        )
+        got_order = order_rows(store.read_table(spark, "crawl_order", snapshot=k))
+        want_order = order_rows(prefix_store.read_table(spark, "crawl_order"))
+        assert got_order == want_order, f"crawl_order mismatch at snapshot {k}"
+        assert {r["wave"] for r in store.read_table(
+            spark, "crawl_order", snapshot=k).collect()} == set(range(k))
+        got_seen = {
+            r["canon_url"]
+            for r in store.read_table(spark, "seen", snapshot=k).collect()
+        }
+        want_seen = {
+            r["canon_url"]
+            for r in prefix_store.read_table(spark, "seen").collect()
+        }
+        assert got_seen == want_seen, f"seen mismatch at snapshot {k}"
