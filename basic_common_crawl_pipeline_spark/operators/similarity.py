@@ -936,3 +936,110 @@ def ivfpq_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def kmeans_int(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    cache: list | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column in EXACT
+    fixed-point arithmetic → ``(id_col, cluster)`` after ``rounds``
+    assign/update iterations plus a final assignment. The corpus-scale
+    clustering pass a training pipeline runs for topic/domain mixing —
+    the full-data counterpart of ``train_ivf_centroids``'s bounded
+    driver-side sample (this one never samples: every vector votes in
+    every update).
+
+    Exactness contract (what makes a DuckDB oracle possible where
+    textbook float k-means is not): vectors quantize once to integers
+    (``floor(x·scale + 0.5)`` — round-half-up, bit-identical in both
+    engines via IEEE double ops), squared-L2 distances are BIGINT sums
+    (max |q| ≈ 2·scale, 64 dims → ≤ ~1e11, far under int64), ties break
+    to the smallest centroid index, and the centroid update rounds
+    half-up via an exactly-divisible numerator —
+    ``(2S + c − posmod(2S + c, 2c)) / (2c)`` — so floor-division
+    (Python ``//``) and truncating division (DuckDB ``//``) agree by
+    construction. Empty clusters keep their previous centroid. Init =
+    the quantized vectors of the ``k`` smallest ids.
+
+    Scale shape (10^10 vectors): per round ONE job — assignment is a
+    generated SQL expression over broadcast centroid literals (the
+    CLAUDE.md py4j lesson: one JVM parse, no 64-deep Column trees), the
+    update is posexplode → ``groupBy(cluster, dim)`` with map-side
+    partial aggregation (k·64 rows per partition reach the shuffle,
+    never the data), and the driver collects exactly k·64 summary rows
+    (bounded by constants, not the corpus). The quantized frame is
+    persisted once and scanned per round; pass ``cache`` to own the
+    unpersist (asof_join convention). No per-key window, no driver-side
+    data loop, nothing crosses Arrow.
+    """
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("__q"),
+    ).persist()
+    if cache is not None:
+        cache.append(q)
+
+    init_rows = q.orderBy(F.col(id_col)).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds input rows ({len(init_rows)})")
+    cents: list[list[int]] = [list(r["__q"]) for r in init_rows]
+    dims = len(cents[0])
+
+    def _assigned() -> DataFrame:
+        # distances land in ONE named array column, so the argmin's two
+        # references (position + min) share a single per-row evaluation
+        # of the k folds instead of rebuilding them (the CLAUDE.md
+        # fold-redundancy lesson)
+        dists = ", ".join(
+            "aggregate(zip_with(__q, array("
+            + ", ".join(f"{v}L" for v in c)
+            + "), (x, y) -> (x - y) * (x - y)), 0L, (a, e) -> a + e)"
+            for c in cents
+        )
+        return q.withColumn("__ds", F.expr(f"array({dists})")).withColumn(
+            "__c",
+            F.expr("array_position(__ds, array_min(__ds)) - 1").cast("long"),
+        )
+
+    for _ in range(rounds):
+        sums = (
+            _assigned()
+            .select("__c", F.posexplode("__q"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("col").alias("__s"), F.count("*").alias("__n"))
+            .collect()
+        )  # bounded: exactly k·dims rows
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["__c"]), {})[int(r["pos"])] = (
+                int(r["__s"]),
+                int(r["__n"]),
+            )
+        new_cents = []
+        for j in range(k):
+            got = by_cluster.get(j)
+            if not got:
+                new_cents.append(cents[j])  # empty cluster: keep
+                continue
+            row = []
+            for d in range(dims):
+                s, n = got[d]
+                num = 2 * s + n
+                num -= num % (2 * n)  # exactly divisible now
+                row.append(num // (2 * n))
+            new_cents.append(row)
+        cents = new_cents
+
+    return _assigned().select(id_col, F.col("__c").alias("cluster"))

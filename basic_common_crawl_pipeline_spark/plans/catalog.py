@@ -2483,6 +2483,92 @@ def emb_semantic_dedup(spark, sf_dir):
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 2
+
+
+def _kmeans_assign_sql(name: str, cent: str) -> str:
+    """Assignment CTE: nearest centroid in exact integer squared-L2,
+    ties to the smallest centroid index (== Spark's array_position-
+    first-match tie-break)."""
+    return f"""{name} AS (
+      SELECT vec_id, j AS c FROM (
+        SELECT q.vec_id, {cent}.j,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(
+                   list_zip(q.q, {cent}.cq),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT),
+                 {cent}.j
+               ) AS rn
+        FROM q CROSS JOIN {cent}
+      ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_round_sql(r: int) -> str:
+    """One assign+update round of the integer k-means oracle: per-
+    (cluster, dim) BIGINT sums, then the round-half-up centroid update
+    on an exactly-divisible numerator — (2S+n − posmod(2S+n, 2n)) is a
+    multiple of 2n, so DuckDB's truncating ``//`` equals Python's floor
+    ``//`` by construction (operators/similarity.py::kmeans_int moves
+    in lockstep). Empty clusters keep the previous centroid row."""
+    return f"""{_kmeans_assign_sql(f'a{r}', f'c{r - 1}')},
+    s{r} AS (
+      SELECT a{r}.c AS j, t.i,
+             CAST(sum(q.q[t.i + 1]) AS BIGINT) AS s,
+             count(*) AS n
+      FROM a{r} JOIN q USING (vec_id) CROSS JOIN range(0, 64) t(i)
+      GROUP BY 1, 2
+    ),
+    c{r} AS (
+      SELECT c{r - 1}.j, coalesce(u.cq, c{r - 1}.cq) AS cq
+      FROM c{r - 1} LEFT JOIN (
+        SELECT j, list(
+          (2*s + n - ((2*s + n) % (2*n) + 2*n) % (2*n)) // (2*n)
+          ORDER BY i) AS cq
+        FROM s{r} GROUP BY j
+      ) u USING (j)
+    )"""
+
+
+@register(
+    "emb_kmeans",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                         AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT j, cq FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS cq
+        FROM q
+      ) WHERE j < {_KMEANS_K}
+    ),
+    {",".join(_kmeans_round_sql(r) for r in range(1, _KMEANS_ROUNDS + 1))},
+    {_kmeans_assign_sql("afin", f"c{_KMEANS_ROUNDS}")}
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM afin
+    """,
+)
+def emb_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the full embedding table
+    (operators/similarity.py::kmeans_int) — the corpus-scale clustering
+    pass for topic/domain mixing, in exact fixed-point arithmetic so the
+    oracle replays every round: quantize (round-half-up ·1e4), k=8 init
+    from the smallest ids, 2 assign/update rounds (integer squared-L2,
+    smallest-index ties, exactly-divisible round-half-up centroid
+    update, empty clusters keep their centroid), final assignment. Per
+    round the Spark side runs ONE map-side-combined groupBy(cluster,
+    dim) job and collects exactly k·64 summary rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_int(
+        emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS
+    )
+
+
 @register(
     "ann_cosine_topk_ivf",
     f"""
@@ -4143,6 +4229,11 @@ _RUN_LAST = [
     # double-green r2+r3, same textstats family text_quality keeps
     # in-gate, and pinned by tests/test_extract.py-adjacent unit tests.
     "text_langid",
+    # demoted for the round-5 emb_kmeans entry: vocab top-k is a
+    # double-green trivial agg+TakeOrdered whose machinery stays
+    # in-gate via text_bpe_train's word table, bm25's df stats and the
+    # quality classifier's TakeOrderedAndProject weight fit.
+    "text_vocab_topk",
     # demoted for the PQ pair: text_training_filter supersets
     # text_quality's feature columns in-gate; j3's broadcast-star shape
     # is plan-pinned and j1/j2 keep the join family in-gate.

@@ -1444,3 +1444,105 @@ def test_span_dedup_grouped_strategy_equals_window(spark):
 
     with pytest.raises(ValueError):
         span_dedup(df, strategy="bogus")
+
+
+def test_kmeans_int_matches_python_reference(spark):
+    """Distributed fixed-point k-means (operators/similarity.py::
+    kmeans_int) equals a pure-Python replay of the same integer
+    contract — quantize round-half-up, smallest-id init, integer
+    squared-L2 with smallest-index ties, exactly-divisible round-half-up
+    centroid update, empty clusters keep their centroid — under two
+    shuffle-partition counts, and the per-round update is map-side
+    combined (partial_sum in the plan, no window)."""
+    import math
+
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        kmeans_int,
+    )
+
+    rng_rows = []
+    for i in range(40):
+        # deterministic 4-dim vectors in [-0.5, 0.5), clustered by i % 3
+        base = [(i % 3) * 0.3 - 0.3, (i % 3) * 0.1, 0.05 * (i % 7), -0.2]
+        rng_rows.append(
+            (i, [float(b + 0.001 * ((i * 13 + d) % 11)) for d, b in enumerate(base)])
+        )
+
+    def ref(rows, k, rounds, scale=10_000):
+        q = {
+            i: [int(math.floor(x * scale + 0.5)) for x in v] for i, v in rows
+        }
+        cents = [list(q[i]) for i in sorted(q)[:k]]
+        dims = len(cents[0])
+
+        def assign():
+            out = {}
+            for i, qv in q.items():
+                dists = [
+                    sum((a - b) * (a - b) for a, b in zip(qv, c))
+                    for c in cents
+                ]
+                out[i] = dists.index(min(dists))
+            return out
+
+        for _ in range(rounds):
+            a = assign()
+            for j in range(k):
+                members = [q[i] for i in a if a[i] == j]
+                if not members:
+                    continue
+                n = len(members)
+                row = []
+                for d in range(dims):
+                    s = sum(m[d] for m in members)
+                    num = 2 * s + n
+                    num -= num % (2 * n)
+                    row.append(num // (2 * n))
+                cents[j] = row
+        return assign()
+
+    want = ref(rng_rows, k=3, rounds=2)
+    df = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_parts in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            cache: list = []
+            out = kmeans_int(df, k=3, rounds=2, cache=cache)
+            got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # final assignment is a narrow projection over the cached
+            # quantized frame: no window, no shuffle
+            assert "windowspecdefinition" not in plan
+            assert "Exchange" not in plan
+            for c in cache:
+                c.unpersist()
+            assert got == want, f"shuffle_partitions={n_parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_kmeans_int_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no members keeps its coordinates: two
+    far-apart initial centroids where every vector sits at one of them —
+    the empty cluster must survive the update and still win its own
+    vector at the final assignment."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        kmeans_int,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.4, 0.4]),
+        (2, [0.4, 0.4]),
+        (3, [0.4, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cache: list = []
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_int(df, k=2, rounds=3, cache=cache).collect()
+    }
+    for c in cache:
+        c.unpersist()
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1}
