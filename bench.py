@@ -356,6 +356,17 @@ def main() -> None:
         .collect(),
         trials=2,
     )
+    # sum the COMPUTED cluster column: a bare count(*) would let
+    # Catalyst prune the k-fold assignment expression entirely (the
+    # training-ops bench rule). The callable runs the 2 update rounds
+    # (one groupBy job + k·64-row collect each) at construction time.
+    timed(
+        "emb_kmeans",
+        lambda: q["emb_kmeans"](spark, sf_dir)
+        .agg(F.sum("cluster"), F.count("*"))
+        .collect(),
+        trials=2,
+    )
     # graph_cc_chain is deliberately NOT in the suite: its cost is ~5
     # star-contraction rounds of fixed per-action latency (data-size-
     # independent at these sfs), which link_pagerank's iterative timing

@@ -3,8 +3,14 @@
 ``queries()`` entry and compare against its ``oracle_sql()`` in DuckDB —
 row count, sorted column names, and an order-insensitive value hash.
 
-Usage: python3 scripts/check_correctness.py [sf_dir] [name ...]
+Usage: python3 scripts/check_correctness.py [sf_dir] [name ...] [--arrow]
 Exit 0 iff all queries with oracles match.
+
+``--arrow`` materializes each oracle through Arrow (``rel.arrow()`` →
+``to_pylist``) instead of ``fetchall()`` — the hostile-harness path
+where DuckDB HUGEINT/DECIMAL become decimal.Decimal and disagree with
+Spark's Python ints. Use it to reproduce the external driver's
+materialization locally (round-4 verdict #2).
 """
 
 from __future__ import annotations
@@ -47,8 +53,10 @@ def value_hash(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--arrow"]
+    use_arrow = "--arrow" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from basic_common_crawl_pipeline_spark.session import get_spark
@@ -96,7 +104,13 @@ def main() -> int:
                 f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
                 if str(t).upper().startswith(("HUGEINT", "DECIMAL", "UHUGEINT"))
             ]
-            d_rows = rel.fetchall()
+            if use_arrow:
+                tbl = rel.arrow()
+                cols = tbl.column_names
+                pylists = [tbl.column(c).to_pylist() for c in cols]
+                d_rows = list(zip(*pylists)) if pylists else []
+            else:
+                d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)

@@ -586,3 +586,62 @@ def test_ivfpq_layout_partition_pruning_and_codes_only_scan(spark, tmp_path):
     assert opened <= set(probe) and len(opened) <= 4
     # the probed shortlist reranks to exactly the oracle-checked top-k
     assert out.count() == 10
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join via real `bucketBy` tables (sources/bucketed.py):
+    two tables bucketed 8-ways on the join key join with NO Exchange on
+    either side (the shuffle moved to write time), and with in-bucket
+    sortBy the join's Sort disappears too. A plain read.parquet over the
+    SAME files loses the catalog bucket metadata and replans the
+    exchange — pinned here so nobody 'simplifies' the reader."""
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.sources.bucketed import (
+        drop_bucketed_table,
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 3).alias("size"),
+    )
+    right = left.select("url", (F.length("url")).alias("meta"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: broadcast would hide the property
+        # being pinned (a 100-TB pages table is not broadcastable)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(
+            left, "bk_pages", ["url"], n_buckets=8,
+            path=str(tmp_path / "bk_pages"),
+        )
+        write_bucketed_table(
+            right, "bk_cdx", ["url"], n_buckets=8,
+            path=str(tmp_path / "bk_cdx"),
+        )
+        l, r = read_bucketed_table(spark, "bk_pages"), read_bucketed_table(
+            spark, "bk_cdx"
+        )
+        joined = l.join(r, "url").select("url", "size", "meta")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # the surviving Sort nodes are partition-LOCAL (within a bucket,
+        # no shuffle behind them) — Spark 3+ ignores bucket sort order
+        # unless spark.sql.legacy.bucketedTableScan.outputOrdering is
+        # set; the scale win pinned here is the absent Exchange
+        assert "Bucketed: true" in plan
+        assert joined.count() == 2000
+        # same files without catalog metadata: exchange comes back
+        raw = spark.read.parquet(str(tmp_path / "bk_pages")).join(
+            spark.read.parquet(str(tmp_path / "bk_cdx")), "url"
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        drop_bucketed_table(spark, "bk_pages")
+        drop_bucketed_table(spark, "bk_cdx")
