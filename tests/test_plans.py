@@ -645,3 +645,68 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         drop_bucketed_table(spark, "bk_pages")
         drop_bucketed_table(spark, "bk_cdx")
+
+
+def test_wave_fetch_join_over_bucketed_pages_drops_exchanges(spark, tmp_path):
+    """The crawl's at-scale join strategy (broadcast_frontier=False →
+    shuffle_hash) over a pages table written with sources/bucketed.py:
+    the bucketed scan's HashPartitioning(url) propagates through the
+    index projection's alias, so the pages side of BOTH url joins
+    (index lookup and html fetch) plans no re-shuffle — strictly fewer
+    hash exchanges than the same wave over plain parquet, with
+    byte-identical output."""
+    from basic_common_crawl_pipeline_spark.plans.catalog import (
+        pages_from_documents,
+    )
+    from basic_common_crawl_pipeline_spark.plans.config import CrawlConfig
+    from basic_common_crawl_pipeline_spark.plans.wave import (
+        empty_seen,
+        frontier_from_seeds,
+        run_wave,
+    )
+    from basic_common_crawl_pipeline_spark.sources.bucketed import (
+        drop_bucketed_table,
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    pages, seeds, robots = pages_from_documents(spark, SF)
+    pages.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    plain = spark.read.parquet(str(tmp_path / "plain"))
+    try:
+        write_bucketed_table(
+            pages, "bk_wave_pages", ["url"], n_buckets=8,
+            path=str(tmp_path / "bk"),
+        )
+        bk = read_bucketed_table(spark, "bk_wave_pages")
+
+        def run(p):
+            out = run_wave(
+                spark, frontier_from_seeds(seeds), empty_seen(spark), p,
+                robots, wave=0,
+                config=CrawlConfig(
+                    wave_seconds=16.0, broadcast_frontier=False,
+                    collect_metrics=False,
+                ),
+            )
+            plan = out.results._jdf.queryExecution().executedPlan().toString()
+            rows = sorted(
+                (r["canon_url"], r["text"])
+                for r in out.results.select("canon_url", "text").collect()
+            )
+            for c in out.cached:
+                c.unpersist()
+            return plan, rows
+
+        plain_plan, plain_rows = run(plain)
+        bk_plan, bk_rows = run(bk)
+        assert "Bucketed: true" in bk_plan
+        assert bk_plan.count("Exchange hashpartitioning") < plain_plan.count(
+            "Exchange hashpartitioning"
+        ), (
+            bk_plan.count("Exchange hashpartitioning"),
+            plain_plan.count("Exchange hashpartitioning"),
+        )
+        assert bk_rows == plain_rows and len(bk_rows) > 0
+    finally:
+        drop_bucketed_table(spark, "bk_wave_pages")
