@@ -233,7 +233,7 @@ def minhash_lsh_dedup(
     Jaccard intersection join, sizes) and the signature table three
     (both self-join sides plus the hot-cell count), so without the
     caches the interpreted shingle construction re-runs for each —
-    measured 17%% on the whole pipeline at sf0.1 (interleaved best-of-3,
+    measured 17% on the whole pipeline at sf0.1 (interleaved best-of-3,
     5.5 vs 6.7 s at local[32]), and the ``cell_cap`` guard's count job
     reads cached blocks instead of re-deriving the signature lineage.
     Pass ``cache`` to own the unpersists (asof_join convention)."""

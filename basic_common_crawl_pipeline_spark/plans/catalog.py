@@ -3641,7 +3641,7 @@ def crawl_wave_flagship(spark, sf_dir):
 
     The SQL oracle replays wave 0 row-level from the generator
     arithmetic, the same CTE chain crawl_metrics replays at counter
-    level: seeds = doc_id %% 29, eligibility = status 200 (doc_id %% 10
+    level: seeds = doc_id % 29, eligibility = status 200 (doc_id % 10
     < 8) AND lang 'en', politeness budget = wave_seconds/crawl_delay
     (src0 delays 2.0 → 8, others 16) applied per host in (priority,
     surt) order. text_len is CLOSED-FORM because the synthesized page's
