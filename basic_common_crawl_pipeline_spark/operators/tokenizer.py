@@ -246,3 +246,97 @@ def bpe_segment_words(
             .alias("n_oov"),
         )
     )
+
+
+def bpe_vocab(words: DataFrame) -> list[str]:
+    """The trained model's piece vocabulary: every symbol that appears
+    in the final segmentation table, in lexicographic order. Piece id =
+    list index. Bounded by |alphabet| + num_merges (each merge round
+    introduces at most ONE new symbol), so the collect is a constant-
+    size driver transfer regardless of corpus size — the same bounded-
+    collect class as bpe_train's 1-row round aggregates. Lexicographic
+    rather than merge-rank ids keeps the mapping derivable from the
+    final word table alone (and therefore oracle-replayable without the
+    training trace); the id assignment is a presentation choice, not a
+    semantic one."""
+    return [
+        r["piece"]
+        for r in words.select(F.explode("syms").alias("piece"))
+        .distinct()
+        .orderBy("piece")
+        .collect()
+    ]
+
+
+def bpe_encode(
+    corpus: DataFrame,
+    words: DataFrame,
+    vocab: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode a corpus to TOKEN IDS with a trained BPE model — the last
+    mile between ``bpe_train`` and the packed-shard sink: real training
+    pipelines pack ids, not counts. One corpus scan, two broadcast
+    joins (word → piece sequence, piece → id), one per-doc aggregate.
+    Returns one row per document: ``(id_col, n_pieces, ids_sum,
+    ids_csv)`` — ids as a space-joined string in token order (the
+    cross-engine-stable encoding; an array column is one
+    ``F.split().cast()`` away for a consumer), plus the exact BIGINT id
+    sum as a cheap checksum.
+
+    OOV handling matches ``bpe_segment_words``: a word missing from the
+    dictionary falls back to character pieces, and a PIECE missing from
+    the vocabulary (an unseen character) encodes as ``unk_id``. Order
+    reconstruction uses the in-group ``array_sort`` of (token position,
+    piece position) structs — the line_dedup reassembly shape: no
+    window, the only shuffle is the final groupBy on the unique doc
+    id."""
+    if vocab is None:
+        vocab = bpe_vocab(words)
+    spark = corpus.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(vocab)],
+        "piece string, piece_id bigint",
+    )
+    toks = corpus.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(text_col)).alias("__tp", "__t"),
+    ).filter(F.col("__t") != "")
+    word = F.lower("__t") if lowercase else F.col("__t")
+    pieces = (
+        toks.select(id_col, "__tp", word.alias("word"))
+        .join(F.broadcast(words.select("word", "syms")), "word", "left")
+        .select(
+            id_col,
+            "__tp",
+            F.posexplode(
+                F.coalesce(F.col("syms"), _chars(F.col("word")))
+            ).alias("__pp", "piece"),
+        )
+    )
+    pid = F.coalesce(F.col("piece_id"), F.lit(unk_id)).cast("long")
+    return (
+        pieces.join(F.broadcast(vocab_df), "piece", "left")
+        .select(id_col, "__tp", "__pp", pid.alias("__pid"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.sum("__pid").cast("long").alias("ids_sum"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__tp"), F.col("__pp"), F.col("__pid")
+                            )
+                        )
+                    ),
+                    lambda x: x["__pid"].cast("string"),
+                ),
+                " ",
+            ).alias("ids_csv"),
+        )
+    )

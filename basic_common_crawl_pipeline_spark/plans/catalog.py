@@ -3937,6 +3937,63 @@ def text_bpe_tokenize(spark, sf_dir):
 
 
 @register(
+    "text_bpe_encode",
+    "WITH " + _BPE_CHAIN + f""",
+    vocab AS (
+      SELECT sym AS piece,
+             CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+               AS piece_id
+      FROM (SELECT DISTINCT sym FROM s{_BPE_MERGES + 1})
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(range(0, len(tl))) AS tok_pos,
+             unnest(tl) AS word
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter({SQL_TOKS}, x -> x <> ''),
+                              x -> lower(x)) AS tl
+        FROM documents
+      )
+    ),
+    wid AS (
+      SELECT d.doc_id, d.tok_pos, s.pos AS piece_pos,
+             coalesce(v.piece_id, -1) AS pid
+      FROM dtok d
+      JOIN s{_BPE_MERGES + 1} s ON s.word = d.word
+      LEFT JOIN vocab v ON v.piece = s.sym
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(sum(pid) AS BIGINT) AS ids_sum,
+           string_agg(CAST(pid AS VARCHAR), ' '
+                      ORDER BY tok_pos, piece_pos) AS ids_csv
+    FROM wid GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    """Corpus → TOKEN IDS with the trained BPE model (operators/
+    tokenizer.py::bpe_encode) — the last mile between bpe_train and the
+    packed-shard sink: real pipelines pack ids, not counts. Vocabulary =
+    the final symbol set in lexicographic order (bounded by |alphabet| +
+    merges — a constant-size driver collect); encode = one corpus scan +
+    two broadcast joins + the array_sort reassembly on the unique doc
+    id. Ids travel as a space-joined string (cross-engine-stable) plus
+    an exact BIGINT checksum; the oracle replays the merge chain, ranks
+    the distinct final symbols, and string_aggs in (token, piece)
+    order."""
+    from ..operators.tokenizer import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    cache: list = []
+    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES, cache=cache)
+    dict_ckpt = words.select("word", "syms").localCheckpoint()
+    for f in cache:
+        f.unpersist()
+    return bpe_encode(docs, dict_ckpt)
+
+
+@register(
     "text_token_budget_sample",
     f"""
     WITH t AS (
@@ -4234,6 +4291,11 @@ _RUN_LAST = [
     # in-gate via text_bpe_train's word table, bm25's df stats and the
     # quality classifier's TakeOrderedAndProject weight fit.
     "text_vocab_topk",
+    # demoted for the round-5 text_bpe_encode entry: the bare IVF
+    # assignment is double-green and its machinery stays in-gate via
+    # emb_semantic_dedup (calls ivf_assign directly), ann_ivfpq_topk
+    # and emb_kmeans (the same nearest-centroid fold shape).
+    "ann_ivf_assign",
     # demoted for the PQ pair: text_training_filter supersets
     # text_quality's feature columns in-gate; j3's broadcast-star shape
     # is plan-pinned and j1/j2 keep the join family in-gate.

@@ -242,3 +242,58 @@ def test_bm25_indexed_equals_full_scan_on_matching_docs(spark, tmp_path):
     out = retrieval.bm25_topk_indexed(spark, p2, _BM25_TERMS, k=10).collect()
     assert [r["doc_id"] for r in out] == [900002]
     assert out[0]["tf_spark"] == 2 and out[0]["dl"] == 2
+
+
+def test_bpe_encode_ids_match_reference_and_handle_oov(spark):
+    """bpe_encode (operators/tokenizer.py): token ids equal a pure-
+    Python replay — lexicographic piece vocabulary over the final
+    symbol table, per-word piece sequences flattened in (token, piece)
+    order — and the two OOV levels behave: an unseen WORD falls back to
+    character pieces, an unseen CHARACTER encodes as unk_id=-1."""
+    from basic_common_crawl_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    train_rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new list"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    cache: list = []
+    _merges, words = bpe_train(train, num_merges=4, cache=cache)
+    vocab = bpe_vocab(words)
+    word_syms = {r["word"]: list(r["syms"]) for r in words.collect()}
+    rank = {p: i for i, p in enumerate(vocab)}
+
+    apply_rows = [
+        (10, "low newest low"),
+        (11, "lowest unseen low"),   # 'unseen' is OOV -> char pieces
+        (12, "zebra! low"),          # '!' never trained -> unk id
+    ]
+    app = spark.createDataFrame(apply_rows, ["doc_id", "text"])
+
+    def ref_encode(text):
+        ids = []
+        for w in text.split():
+            w = w.lower()
+            pieces = word_syms.get(w, list(w))
+            ids += [rank.get(p, -1) for p in pieces]
+        return ids
+
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode(app, words, vocab).collect()
+    }
+    for doc_id, text in apply_rows:
+        want = ref_encode(text)
+        r = got[doc_id]
+        assert [int(x) for x in r["ids_csv"].split(" ")] == want, (doc_id, r)
+        assert r["n_pieces"] == len(want)
+        assert r["ids_sum"] == sum(want)
+    # the unseen character really went through the unk path
+    assert -1 in [int(x) for x in got[12]["ids_csv"].split(" ")]
+    for c in cache:
+        c.unpersist()
