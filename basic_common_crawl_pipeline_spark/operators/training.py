@@ -492,3 +492,63 @@ def nb_quality_classifier(
         )
         .withColumn("predict", (F.col("score_int") > 0).cast("long"))
     )
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    order_cols: list[str],
+    ids_col: str = "ids_csv",
+    budget: int = 512,
+    cache: list | None = None,
+) -> DataFrame:
+    """Materialize the ACTUAL training sequences: given encoded
+    documents (``tokenizer.bpe_encode``'s output — token ids as a
+    space-joined string per doc), lay every id end-to-end in the total
+    order of ``order_cols`` and emit one row per ``budget``-token
+    sequence: ``(pack_id, n_ids, ids_csv)`` — the artifact a GPT-style
+    dataloader reads, with documents crossing sequence boundaries
+    exactly as ``pack_token_stream``'s offsets dictate (the final
+    partial sequence is kept, documented short).
+
+    Scale shape: exact global offsets come from the two-phase prefix
+    sum over PER-DOC counts (driver sees ≤ #partitions summary rows,
+    never tokens); the only per-TOKEN work is one narrow posexplode
+    projecting ``(global position, id)`` and ONE shuffle into the
+    per-sequence groupBy — which is unavoidable and linear: every token
+    must reach its sequence exactly once, the same volume the shard
+    writer ships anyway. In-sequence order reassembles with the
+    array_sort-of-structs idiom (no window). ``cache`` owns the prefix
+    sum's internal persist (asof convention)."""
+    n_ids = F.size(F.split(F.col(ids_col), " ")).cast("long")
+    with_n = encoded.withColumn("__n", n_ids)
+    summed = keyed_prefix_sum(
+        with_n, [], order_cols, "__n", out_col="__off", cache=cache
+    )
+    tokens = summed.select(
+        F.col("__off"),
+        F.posexplode(F.split(F.col(ids_col), " ")).alias("__i", "__id"),
+    ).select(
+        (F.col("__off") + F.col("__i")).alias("__pos"),
+        F.col("__id"),
+    )
+    return (
+        tokens.groupBy(
+            F.floor(F.col("__pos") / F.lit(budget)).cast("long").alias(
+                "pack_id"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos"), F.col("__id"))
+                        )
+                    ),
+                    lambda x: x["__id"],
+                ),
+                " ",
+            ).alias("ids_csv"),
+        )
+    )

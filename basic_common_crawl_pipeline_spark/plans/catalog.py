@@ -3889,6 +3889,32 @@ def text_bpe_train(spark, sf_dir):
     )
 
 
+
+_BPE_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _bpe_model(spark, sf_dir):
+    """Memoized trained BPE dictionary per (session, sf_dir): the three
+    BPE-applying entries (tokenize / encode / pack_ids) share one
+    training run — same ownership story as _FIXTURE_CACHE. The returned
+    frame is an EAGER localCheckpoint (self-contained blocks; every
+    training-round persist retires immediately), so consumers depend on
+    nothing but the checkpointed dictionary."""
+    from ..operators.tokenizer import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
+    if key in _BPE_MODEL_CACHE:
+        return _BPE_MODEL_CACHE[key]
+    docs = load(spark, sf_dir, "documents")
+    cache: list = []
+    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES, cache=cache)
+    dict_ckpt = words.select("word", "syms").localCheckpoint()
+    for f in cache:
+        f.unpersist()
+    _BPE_MODEL_CACHE[key] = dict_ckpt
+    return dict_ckpt
+
+
 @register(
     "text_bpe_tokenize",
     "WITH " + _BPE_CHAIN + f""",
@@ -3920,20 +3946,10 @@ def text_bpe_tokenize(spark, sf_dir):
     (doc_id, n_words, n_pieces, max_word_pieces, n_oov) — OOV words
     (none here: application corpus == training corpus) fall back to
     character segmentation via the LEFT join on both engines."""
-    from ..operators.tokenizer import bpe_segment_words, bpe_train
+    from ..operators.tokenizer import bpe_segment_words
 
     docs = load(spark, sf_dir, "documents")
-    cache: list = []
-    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES, cache=cache)
-    # snapshot the tiny dictionary (distinct words) as an eager local
-    # checkpoint so every training round's persisted frame can retire
-    # NOW — nothing leaks into the long-lived session, and the returned
-    # query depends only on the checkpointed blocks (ContextCleaner
-    # frees those once the frame is unreferenced).
-    dict_ckpt = words.select("word", "syms").localCheckpoint()
-    for f in cache:
-        f.unpersist()
-    return bpe_segment_words(docs, dict_ckpt)
+    return bpe_segment_words(docs, _bpe_model(spark, sf_dir))
 
 
 @register(
@@ -3982,15 +3998,78 @@ def text_bpe_encode(spark, sf_dir):
     an exact BIGINT checksum; the oracle replays the merge chain, ranks
     the distinct final symbols, and string_aggs in (token, piece)
     order."""
-    from ..operators.tokenizer import bpe_encode, bpe_train
+    from ..operators.tokenizer import bpe_encode
 
     docs = load(spark, sf_dir, "documents")
-    cache: list = []
-    _merges, words = bpe_train(docs, num_merges=_BPE_MERGES, cache=cache)
-    dict_ckpt = words.select("word", "syms").localCheckpoint()
-    for f in cache:
-        f.unpersist()
-    return bpe_encode(docs, dict_ckpt)
+    return bpe_encode(docs, _bpe_model(spark, sf_dir))
+
+
+@register(
+    "text_pack_ids",
+    "WITH " + _BPE_CHAIN + f""",
+    vocab AS (
+      SELECT sym AS piece,
+             CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+               AS piece_id
+      FROM (SELECT DISTINCT sym FROM s{_BPE_MERGES + 1})
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(range(0, len(tl))) AS tok_pos,
+             unnest(tl) AS word
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter({SQL_TOKS}, x -> x <> ''),
+                              x -> lower(x)) AS tl
+        FROM documents
+      )
+    ),
+    wid AS (
+      SELECT d.doc_id, d.tok_pos, s.pos AS piece_pos,
+             coalesce(v.piece_id, -1) AS pid
+      FROM dtok d
+      JOIN s{_BPE_MERGES + 1} s ON s.word = d.word
+      LEFT JOIN vocab v ON v.piece = s.sym
+    ),
+    enc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             list(pid ORDER BY tok_pos, piece_pos) AS idl
+      FROM wid GROUP BY doc_id
+    ),
+    offs AS (
+      SELECT doc_id, idl,
+             CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM enc
+    ),
+    tok AS (
+      SELECT off + unnest(range(0, len(idl))) AS pos, unnest(idl) AS pid
+      FROM offs
+    )
+    SELECT CAST(pos // 512 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pos) AS ids_csv
+    FROM tok GROUP BY 1
+    """,
+)
+def text_pack_ids(spark, sf_dir):
+    """The END ARTIFACT of the training-prep chain: actual fixed-length
+    training sequences (operators/training.py::pack_token_ids over
+    tokenizer.bpe_encode) — every document's token ids laid end-to-end
+    in doc_id order and cut into 512-id sequences, documents crossing
+    boundaries exactly as the two-phase prefix sum dictates; one row
+    per sequence (pack_id, n_ids, ids_csv), final partial sequence
+    kept short. The only per-token shuffle is the unavoidable linear
+    one into the per-sequence groupBy; offsets come from per-DOC
+    summaries. The oracle replays encode + a window prefix sum + an
+    ordered string_agg per 512-id block."""
+    from ..operators.tokenizer import bpe_encode
+    from ..operators.training import pack_token_ids
+
+    docs = load(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _bpe_model(spark, sf_dir))
+    return pack_token_ids(enc, ["doc_id"], budget=512)
 
 
 @register(
@@ -4296,6 +4375,12 @@ _RUN_LAST = [
     # emb_semantic_dedup (calls ivf_assign directly), ann_ivfpq_topk
     # and emb_kmeans (the same nearest-centroid fold shape).
     "ann_ivf_assign",
+    # demoted for the round-5 text_pack_ids entry: neardup APPLY is
+    # double-green, its clustering stays in-gate via
+    # dedup_neardup_clusters and the semi-join materialization shape
+    # via the same left-semi pins; its label-round oracle is also the
+    # gate's second-heaviest — demoting it buys the window time back.
+    "dedup_neardup_apply",
     # demoted for the PQ pair: text_training_filter supersets
     # text_quality's feature columns in-gate; j3's broadcast-star shape
     # is plan-pinned and j1/j2 keep the join family in-gate.

@@ -573,3 +573,36 @@ def test_pid_layout_guard_fires_on_drift(spark):
             check_pid_layout(df, 4, [0, 7])  # pid outside the layout
     finally:
         df.unpersist()
+
+
+def test_pack_token_ids_reassembles_exact_stream(spark):
+    """pack_token_ids (operators/training.py): concatenating the output
+    sequences in pack_id order reproduces the exact id stream of the
+    input docs in doc order; every sequence except possibly the last is
+    exactly budget ids; boundary-crossing docs split mid-document."""
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        pack_token_ids,
+    )
+
+    rows = [
+        (1, "1 2 3"),
+        (2, "4 5 6 7 8"),
+        (3, "9"),
+        (4, "10 11 12 13"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ids_csv"])
+    cache: list = []
+    out = sorted(
+        (r["pack_id"], r["n_ids"], r["ids_csv"])
+        for r in pack_token_ids(df, ["doc_id"], budget=4, cache=cache).collect()
+    )
+    for c in cache:
+        c.unpersist()
+    stream = " ".join(t for _, t in rows).split()
+    want = [
+        (i, len(stream[i * 4 : (i + 1) * 4]), " ".join(stream[i * 4 : (i + 1) * 4]))
+        for i in range((len(stream) + 3) // 4)
+    ]
+    assert out == [(int(p), int(n), s) for p, n, s in want]
+    # 13 ids -> packs of 4,4,4,1; doc 2 straddles packs 0/1
+    assert [n for _, n, _ in out] == [4, 4, 4, 1]
