@@ -93,3 +93,76 @@ def test_span_dedup_strategies_agree_with_reference(spark, texts):
     finally:
         for c in caches:
             c.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# kmeans_int property: random small vector sets (duplicates and exact
+# ties included by construction — coordinates come from a tiny grid)
+# against the same pure-Python integer replay as the deterministic test.
+# ---------------------------------------------------------------------------
+
+km_vectors = st.lists(
+    st.lists(
+        st.sampled_from([-0.3, -0.1, 0.0, 0.1, 0.3]), min_size=3, max_size=3
+    ),
+    min_size=4,
+    max_size=14,
+)
+
+
+def _km_ref(rows, k, rounds, scale=10_000):
+    import math
+
+    q = {i: [int(math.floor(x * scale + 0.5)) for x in v] for i, v in rows}
+    cents = [list(q[i]) for i in sorted(q)[:k]]
+    dims = len(cents[0])
+
+    def assign():
+        out = {}
+        for i, qv in q.items():
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents
+            ]
+            out[i] = dists.index(min(dists))
+        return out
+
+    for _ in range(rounds):
+        a = assign()
+        for j in range(k):
+            members = [q[i] for i in a if a[i] == j]
+            if not members:
+                continue
+            n = len(members)
+            row = []
+            for d in range(dims):
+                s = sum(m[d] for m in members)
+                num = 2 * s + n
+                num -= num % (2 * n)
+                row.append(num // (2 * n))
+            cents[j] = row
+    return assign()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=km_vectors)
+def test_kmeans_int_property_matches_reference(spark, vecs):
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        kmeans_int,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = min(3, len(rows))
+    want = _km_ref(rows, k=k, rounds=2)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cache: list = []
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_int(df, k=k, rounds=2, cache=cache).collect()
+    }
+    for c in cache:
+        c.unpersist()
+    assert got == want
