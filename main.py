@@ -53,6 +53,25 @@ def main() -> None:
     demo.add_argument("--waves", type=int, default=3)
     demo.add_argument("--metrics-port", type=int, default=None)
 
+    prep = sub.add_parser(
+        "prep",
+        help="training-data prep: exact dedup -> repetition gate "
+        "[-> decontaminate] -> BPE train/encode -> pack -> id shards",
+    )
+    prep.add_argument(
+        "--documents", required=True,
+        help="parquet with (doc_id bigint, text string)",
+    )
+    prep.add_argument("--out", required=True, help="shard output dir")
+    prep.add_argument(
+        "--benchmark", default=None,
+        help="optional parquet with a text column; documents sharing "
+        "word n-grams with it are dropped (decontamination)",
+    )
+    prep.add_argument("--merges", type=int, default=6)
+    prep.add_argument("--budget", type=int, default=512)
+    prep.add_argument("--seqs-per-shard", type=int, default=1024)
+
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,6 +82,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("crawl-frontier").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.cmd == "prep":
+        _run_prep(spark, args)
+        return
 
     if args.cmd == "crawl":
         pages = spark.read.parquet(args.pages)
@@ -106,6 +129,100 @@ def main() -> None:
         if server is not None:
             server.close()
     print(json.dumps({"waves": state.wave, "metrics": state.metrics}))
+
+
+def _run_prep(spark, args) -> None:
+    """The training-data pipeline as one spark-submit job: the same
+    operators the catalog exposes, chained — exact dedup (keep the
+    canonical copy), Gopher repetition gate, optional benchmark
+    decontamination, BPE train + token-ID encode, fixed-budget sequence
+    packing, and a shard-partitioned parquet sink a dataloader reads
+    with partition pruning. Prints ONE summary JSON line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from basic_common_crawl_pipeline_spark.functions.textstats import (
+        repetition_stats,
+    )
+    from basic_common_crawl_pipeline_spark.operators.dedup import exact_dedup
+    from basic_common_crawl_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+    from basic_common_crawl_pipeline_spark.operators.training import (
+        decontaminate,
+        pack_token_ids,
+    )
+
+    docs = spark.read.parquet(args.documents).select("doc_id", "text")
+    n_in = docs.count()
+
+    # 1. exact dedup: keep each group's canonical (min-id) copy
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    docs = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+
+    # 2. Gopher repetition gate: drop docs whose top 2-gram dominates
+    rep = repetition_stats("text")
+    docs = docs.withColumn("__r", rep).filter(
+        ~(
+            (F.col("__r.n_grams") >= 10)
+            & (F.col("__r.top_count") * 10 >= F.col("__r.n_grams"))
+        )
+    ).drop("__r")
+
+    # 3. optional benchmark decontamination
+    if args.benchmark is not None:
+        bench = spark.read.parquet(args.benchmark)
+        flags = decontaminate(docs, bench).select("doc_id", "contaminated")
+        docs = (
+            docs.join(flags, "doc_id", "left")
+            .filter(~F.coalesce(F.col("contaminated"), F.lit(False)))
+            .drop("contaminated")
+        )
+    docs = docs.persist()
+    n_kept = docs.count()
+
+    # 4. tokenize: train on the survivors, encode to ids
+    cache: list = []
+    merges, words = bpe_train(docs, num_merges=args.merges, cache=cache)
+    dict_ckpt = words.select("word", "syms").localCheckpoint()
+    for f in cache:
+        f.unpersist()
+    enc = bpe_encode(docs, dict_ckpt)
+
+    # 5. pack into fixed-budget sequences and shard the ids
+    pack_cache: list = []
+    packed = pack_token_ids(
+        enc, ["doc_id"], budget=args.budget, cache=pack_cache
+    )
+    shards = packed.withColumn(
+        "shard_id",
+        F.floor(F.col("pack_id") / F.lit(args.seqs_per_shard)).cast("long"),
+    )
+    shards.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    summary = out.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_ids").alias("n_tokens"),
+        F.countDistinct("shard_id").alias("n_shards"),
+    ).collect()[0]
+    for f in pack_cache:
+        f.unpersist()
+    docs.unpersist()
+    print(
+        _json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_kept,
+                "merges": len(merges),
+                "sequences": summary["n_seqs"],
+                "tokens": int(summary["n_tokens"]),
+                "shards": summary["n_shards"],
+                "out": args.out,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
