@@ -519,12 +519,17 @@ def pack_token_ids(
     writer ships anyway. In-sequence order reassembles with the
     array_sort-of-structs idiom (no window). ``cache`` owns the prefix
     sum's internal persist (asof convention)."""
-    n_ids = F.size(F.split(F.col(ids_col), " ")).cast("long")
+    # an EMPTY ids string is zero tokens, not one: F.split('', ' ')
+    # yields [''] (size 1), which would shift every later document's
+    # global offset and leak a bogus '' id into some sequence
+    n_ids = F.when(F.col(ids_col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col(ids_col), " "))
+    ).cast("long")
     with_n = encoded.withColumn("__n", n_ids)
     summed = keyed_prefix_sum(
         with_n, [], order_cols, "__n", out_col="__off", cache=cache
     )
-    tokens = summed.select(
+    tokens = summed.filter(F.col(ids_col) != "").select(
         F.col("__off"),
         F.posexplode(F.split(F.col(ids_col), " ")).alias("__i", "__id"),
     ).select(

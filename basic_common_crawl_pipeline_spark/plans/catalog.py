@@ -27,6 +27,13 @@ from ..operators.politeness import select_per_host_topk
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# DuckDB result types that a pandas/Arrow-materializing harness turns
+# into float64/decimal128 and hash-mismatches against Spark's integer
+# columns (the r4 red-set class — CLAUDE.md oracle rule). ONE source of
+# truth: scripts/check_correctness.py fails any oracle emitting them
+# and tests/test_oracle_types.py scans every bound oracle schema.
+DRIVER_HOSTILE_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -3854,6 +3861,35 @@ _BPE_CHAIN = _BPE_BASE + "," + ",".join(
     _bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1)
 )
 
+# Shared by text_bpe_encode and text_pack_ids — ONE source of truth for
+# the encode contract (vocab ranking, tokenization filter, lowercase
+# rule, unk id); both oracles interpolate this block verbatim.
+_BPE_ENCODE_CTES = f"""
+    vocab AS (
+      SELECT sym AS piece,
+             CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+               AS piece_id
+      FROM (SELECT DISTINCT sym FROM s{_BPE_MERGES + 1})
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(range(0, len(tl))) AS tok_pos,
+             unnest(tl) AS word
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter({SQL_TOKS}, x -> x <> ''),
+                              x -> lower(x)) AS tl
+        FROM documents
+      )
+    ),
+    wid AS (
+      SELECT d.doc_id, d.tok_pos, s.pos AS piece_pos,
+             coalesce(v.piece_id, -1) AS pid
+      FROM dtok d
+      JOIN s{_BPE_MERGES + 1} s ON s.word = d.word
+      LEFT JOIN vocab v ON v.piece = s.sym
+    )"""
+
 
 @register(
     "text_bpe_train",
@@ -3955,30 +3991,7 @@ def text_bpe_tokenize(spark, sf_dir):
 @register(
     "text_bpe_encode",
     "WITH " + _BPE_CHAIN + f""",
-    vocab AS (
-      SELECT sym AS piece,
-             CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
-               AS piece_id
-      FROM (SELECT DISTINCT sym FROM s{_BPE_MERGES + 1})
-    ),
-    dtok AS (
-      SELECT doc_id,
-             unnest(range(0, len(tl))) AS tok_pos,
-             unnest(tl) AS word
-      FROM (
-        SELECT doc_id,
-               list_transform(list_filter({SQL_TOKS}, x -> x <> ''),
-                              x -> lower(x)) AS tl
-        FROM documents
-      )
-    ),
-    wid AS (
-      SELECT d.doc_id, d.tok_pos, s.pos AS piece_pos,
-             coalesce(v.piece_id, -1) AS pid
-      FROM dtok d
-      JOIN s{_BPE_MERGES + 1} s ON s.word = d.word
-      LEFT JOIN vocab v ON v.piece = s.sym
-    )
+    {_BPE_ENCODE_CTES}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_pieces,
            CAST(sum(pid) AS BIGINT) AS ids_sum,
@@ -4007,30 +4020,7 @@ def text_bpe_encode(spark, sf_dir):
 @register(
     "text_pack_ids",
     "WITH " + _BPE_CHAIN + f""",
-    vocab AS (
-      SELECT sym AS piece,
-             CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
-               AS piece_id
-      FROM (SELECT DISTINCT sym FROM s{_BPE_MERGES + 1})
-    ),
-    dtok AS (
-      SELECT doc_id,
-             unnest(range(0, len(tl))) AS tok_pos,
-             unnest(tl) AS word
-      FROM (
-        SELECT doc_id,
-               list_transform(list_filter({SQL_TOKS}, x -> x <> ''),
-                              x -> lower(x)) AS tl
-        FROM documents
-      )
-    ),
-    wid AS (
-      SELECT d.doc_id, d.tok_pos, s.pos AS piece_pos,
-             coalesce(v.piece_id, -1) AS pid
-      FROM dtok d
-      JOIN s{_BPE_MERGES + 1} s ON s.word = d.word
-      LEFT JOIN vocab v ON v.piece = s.sym
-    ),
+    {_BPE_ENCODE_CTES},
     enc AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
              list(pid ORDER BY tok_pos, piece_pos) AS idl

@@ -158,9 +158,11 @@ def _run_prep(spark, args) -> None:
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
     n_in = docs.count()
 
-    # 1. exact dedup: keep each group's canonical (min-id) copy
+    # 1. exact dedup: keep each group's canonical (min-id) copy. NO
+    # broadcast hint: the keep set is O(corpus) cardinality (one id per
+    # distinct document) — let the planner pick the join strategy.
     keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    docs = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    docs = docs.join(keep, "doc_id", "left_semi")
 
     # 2. Gopher repetition gate: drop docs whose top 2-gram dominates
     rep = repetition_stats("text")
@@ -182,6 +184,24 @@ def _run_prep(spark, args) -> None:
         )
     docs = docs.persist()
     n_kept = docs.count()
+    if n_kept == 0:
+        # nothing survived: an empty partitionBy parquet write has no
+        # readable schema — report honestly instead of stack-tracing
+        docs.unpersist()
+        print(
+            _json.dumps(
+                {
+                    "docs_in": n_in,
+                    "docs_kept": 0,
+                    "merges": 0,
+                    "sequences": 0,
+                    "tokens": 0,
+                    "shards": 0,
+                    "out": args.out,
+                }
+            )
+        )
+        return
 
     # 4. tokenize: train on the survivors, encode to ids
     cache: list = []
@@ -199,14 +219,19 @@ def _run_prep(spark, args) -> None:
     shards = packed.withColumn(
         "shard_id",
         F.floor(F.col("pack_id") / F.lit(args.seqs_per_shard)).cast("long"),
-    )
-    shards.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
-    out = spark.read.parquet(args.out)
-    summary = out.agg(
+    ).persist()
+    summary = shards.agg(
         F.count("*").alias("n_seqs"),
         F.sum("n_ids").alias("n_tokens"),
         F.countDistinct("shard_id").alias("n_shards"),
     ).collect()[0]
+    if summary["n_seqs"] > 0:
+        # (an all-empty-text corpus encodes to zero sequences; an empty
+        # partitionBy write would have no readable schema)
+        shards.write.mode("overwrite").partitionBy("shard_id").parquet(
+            args.out
+        )
+    shards.unpersist()
     for f in pack_cache:
         f.unpersist()
     docs.unpersist()
@@ -217,7 +242,7 @@ def _run_prep(spark, args) -> None:
                 "docs_kept": n_kept,
                 "merges": len(merges),
                 "sequences": summary["n_seqs"],
-                "tokens": int(summary["n_tokens"]),
+                "tokens": int(summary["n_tokens"] or 0),
                 "shards": summary["n_shards"],
                 "out": args.out,
             }

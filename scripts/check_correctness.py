@@ -100,9 +100,13 @@ def main() -> int:
             # float64/decimal128 and hash-mismatches vs Spark BIGINT
             # even though fetchall() would agree.  Fail loudly here so
             # the class is locally reproducible (round-4 verdict #1).
+            from basic_common_crawl_pipeline_spark.plans.catalog import (
+                DRIVER_HOSTILE_ORACLE_TYPES,
+            )
+
             bad_types = [
                 f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
-                if str(t).upper().startswith(("HUGEINT", "DECIMAL", "UHUGEINT"))
+                if str(t).upper().startswith(DRIVER_HOSTILE_ORACLE_TYPES)
             ]
             if use_arrow:
                 tbl = rel.arrow()

@@ -1468,38 +1468,7 @@ def test_kmeans_int_matches_python_reference(spark):
             (i, [float(b + 0.001 * ((i * 13 + d) % 11)) for d, b in enumerate(base)])
         )
 
-    def ref(rows, k, rounds, scale=10_000):
-        q = {
-            i: [int(math.floor(x * scale + 0.5)) for x in v] for i, v in rows
-        }
-        cents = [list(q[i]) for i in sorted(q)[:k]]
-        dims = len(cents[0])
-
-        def assign():
-            out = {}
-            for i, qv in q.items():
-                dists = [
-                    sum((a - b) * (a - b) for a, b in zip(qv, c))
-                    for c in cents
-                ]
-                out[i] = dists.index(min(dists))
-            return out
-
-        for _ in range(rounds):
-            a = assign()
-            for j in range(k):
-                members = [q[i] for i in a if a[i] == j]
-                if not members:
-                    continue
-                n = len(members)
-                row = []
-                for d in range(dims):
-                    s = sum(m[d] for m in members)
-                    num = 2 * s + n
-                    num -= num % (2 * n)
-                    row.append(num // (2 * n))
-                cents[j] = row
-        return assign()
+    from tests.kmeans_ref import kmeans_int_ref as ref
 
     want = ref(rng_rows, k=3, rounds=2)
     df = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])

@@ -19,6 +19,9 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from basic_common_crawl_pipeline_spark.plans.catalog import (
+    DRIVER_HOSTILE_ORACLE_TYPES,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -26,7 +29,7 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-BAD_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+BAD_PREFIXES = DRIVER_HOSTILE_ORACLE_TYPES
 
 
 @pytest.fixture(scope="module")

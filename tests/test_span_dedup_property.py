@@ -110,37 +110,7 @@ km_vectors = st.lists(
 )
 
 
-def _km_ref(rows, k, rounds, scale=10_000):
-    import math
-
-    q = {i: [int(math.floor(x * scale + 0.5)) for x in v] for i, v in rows}
-    cents = [list(q[i]) for i in sorted(q)[:k]]
-    dims = len(cents[0])
-
-    def assign():
-        out = {}
-        for i, qv in q.items():
-            dists = [
-                sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents
-            ]
-            out[i] = dists.index(min(dists))
-        return out
-
-    for _ in range(rounds):
-        a = assign()
-        for j in range(k):
-            members = [q[i] for i in a if a[i] == j]
-            if not members:
-                continue
-            n = len(members)
-            row = []
-            for d in range(dims):
-                s = sum(m[d] for m in members)
-                num = 2 * s + n
-                num -= num % (2 * n)
-                row.append(num // (2 * n))
-            cents[j] = row
-    return assign()
+from tests.kmeans_ref import kmeans_int_ref as _km_ref  # noqa: E402
 
 
 @settings(

@@ -586,9 +586,10 @@ def test_pack_token_ids_reassembles_exact_stream(spark):
 
     rows = [
         (1, "1 2 3"),
-        (2, "4 5 6 7 8"),
-        (3, "9"),
-        (4, "10 11 12 13"),
+        (2, ""),  # empty doc MID-stream: zero tokens, must not shift offsets
+        (3, "4 5 6 7 8"),
+        (4, "9"),
+        (5, "10 11 12 13"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "ids_csv"])
     cache: list = []
@@ -598,7 +599,7 @@ def test_pack_token_ids_reassembles_exact_stream(spark):
     )
     for c in cache:
         c.unpersist()
-    stream = " ".join(t for _, t in rows).split()
+    stream = " ".join(t for _, t in rows if t).split()
     want = [
         (i, len(stream[i * 4 : (i + 1) * 4]), " ".join(stream[i * 4 : (i + 1) * 4]))
         for i in range((len(stream) + 3) // 4)
