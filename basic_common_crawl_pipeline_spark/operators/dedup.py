@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round4
 from ..functions.textstats import norm_text, word_ngrams, word_tokens
+from .spread import spread_input
 
 
 def _hash64_expr(col):
@@ -66,18 +67,9 @@ def shingle_table(
     (below openCostInBytes no splitting happens at all), serializing 5-6 s
     of per-doc expression work through one task (measured on the bench
     corpus). Spread few-FILE inputs to the session's shuffle width first
-    — the explicit count is AQE-coalescing-exempt; a many-file (real
-    scale) or non-file-backed input adds no shuffle. The probe is
-    ``inputFiles()`` (metadata only) rather than ``rdd.getNumPartitions``
-    — under AQE ``.rdd`` forces the final plan, EXECUTING any upstream
-    shuffle stages at DataFrame-construction time."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < target:
-        df = df.repartition(target, F.col(id_col))
+    via the shared adaptive helper (operators/spread.py) — no-op for
+    many-file / non-file-backed / already-repartitioned inputs."""
+    df = spread_input(df, id_col)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -286,6 +278,12 @@ def incremental_dedup(
     ``cell_cap`` are excluded from pairing (``_cap_cells``), bounding
     the per-cell fan-out on boilerplate-heavy corpora."""
     k = bands * rows_per_band
+    # Adaptive spread (operators/spread.py): the fingerprint and shingle
+    # projections of BOTH sides are per-row-heavy; a 1-split scan would
+    # serialize them (shingle_table's own spread then no-ops on the
+    # already-repartitioned lineage).
+    new_df = spread_input(new_df, id_col)
+    old_df = spread_input(old_df, id_col)
 
     def fps(df: DataFrame) -> DataFrame:
         return df.select(
@@ -400,6 +398,7 @@ def simhash(
     Σ_tokens (2·bit_j(hash) − 1) > 0. Pure relational: explode tokens →
     per-bit signed sums → recombine. One shuffle (groupBy id).
     """
+    df = spread_input(df, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_tokens(text_col)).alias("tok"),
@@ -537,6 +536,9 @@ def line_dedup(
     # escape it (re.escape backslash-quotes punctuation only, which Java
     # regex reads identically) — an unescaped '.', '|' or '\r\n'-style
     # caller value would otherwise split per-character or wrong.
+    # Adaptive spread first: the split+posexplode+hash projection is the
+    # per-row-heavy part and otherwise runs at a 1-split scan's width.
+    df = spread_input(df, id_col)
     sep_re = re.escape(sep)
     lines = df.select(
         F.col(id_col),
@@ -624,6 +626,10 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
+    # Adaptive spread first: both derived tables (toks + grams) pay the
+    # tokenize/n-gram projection, which otherwise runs at a 1-split
+    # scan's width (operators/spread.py).
+    df = spread_input(df, id_col)
     toks = df.select(
         F.col(id_col),
         F.posexplode(word_tokens(text_col)).alias("__idx", "__tok"),

@@ -23,6 +23,7 @@ from ..functions.numeric import SQL_CENTS, round4
 from ..operators import dedup, similarity
 from ..operators.ordering import with_global_seq
 from ..operators.politeness import select_per_host_topk
+from ..operators.spread import spread_input
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -886,6 +887,19 @@ def batcher_slice(spark, sf_dir):
     from ..functions.cdx import eligible_filter
 
     li = load(spark, sf_dir, "lineitem")
+    # r6: push the first-N cut BELOW the (1:1, deterministic) line
+    # synthesis + parse. cluster_id == l_orderkey*10 + l_linenumber by
+    # construction (it is the line's last field), every synthesized line
+    # parses (6 well-formed fields, so parse_cluster_idx drops nothing),
+    # and cluster ids are unique (l_linenumber ∈ 1..7 < 10) — the top-40
+    # set is therefore identical whether taken before or after the
+    # format+parse. Before: every row paid a 7-argument format_string +
+    # date_format + regex split in the (single-split) scan stage — 4.6 s
+    # of serial string work at sf0.1; now the scan computes one
+    # arithmetic sort key and only 40 rows are formatted/parsed.
+    li = li.orderBy(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).asc()
+    ).limit(40)
     idx_lines = li.select(
         F.format_string(
             "com,host%d)/item/%d %s\tcdx-%05d.gz\t%d\t%d\t%d",
@@ -1175,7 +1189,10 @@ def text_repetition(spark, sf_dir):
     any corpus size, while the oracle spells out the explode+groupBy
     the operator avoids. ``repetitive`` = top 2-gram covers ≥10% of ≥10
     gram occurrences — pure integer arithmetic, exact cross-engine."""
-    docs = load(spark, sf_dir, "documents")
+    # Adaptive spread (operators/spread.py): the interpreted sort+fold is
+    # pure per-row work; round-robin balances it perfectly. A many-split
+    # input (real scale) keeps the zero-shuffle shape.
+    docs = spread_input(load(spark, sf_dir, "documents"))
     return (
         docs.withColumn("__s", ts.repetition_stats("text", n=2))
         .select(
@@ -1340,7 +1357,9 @@ def text_line_dedup(spark, sf_dir):
     survives. One hash-aggregate over the Zipf head + a mark join by
     60-bit line hash + a skew-free per-doc reassembly — the 100-TB
     shape of sub-document dedup."""
-    docs = load(spark, sf_dir, "documents")
+    # spread BEFORE the line-structure synthesis (the per-row-heavy
+    # part); line_dedup's internal spread then no-ops on the lineage
+    docs = spread_input(load(spark, sf_dir, "documents"), "doc_id")
     toks = ts.word_tokens("text")
     nc = F.greatest(
         F.ceil(F.size(toks) / F.lit(4.0)).cast("long"), F.lit(1)
@@ -1611,8 +1630,9 @@ def text_pii_redact(spark, sf_dir):
     (an email, a phone number, an IPv4 address derived from doc_id) is
     appended deterministically on BOTH engines, then masked with typed
     placeholders and counted. Pure JVM regexp_replace/regexp_count over
-    one scan — a narrow, shuffle-free map at any corpus size."""
-    docs = load(spark, sf_dir, "documents")
+    one scan — a narrow, shuffle-free map at any corpus size (the
+    adaptive spread only widens a degenerate 1-split local scan)."""
+    docs = spread_input(load(spark, sf_dir, "documents"))
     t = F.concat(
         F.col("text"),
         F.lit(" Contact user"),
@@ -1693,7 +1713,7 @@ def text_rolling_fingerprint(spark, sf_dir):
     (base 257, mod 2^31-1, k=7) over the normalized text — the literal
     rolling-hash fingerprint next to the min-md5 winnowing variant
     (text_fingerprint). Exact BIGINT arithmetic in both engines."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_input(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", ts.rolling_fingerprint("text").alias("fingerprint")
     )

@@ -412,8 +412,13 @@ def test_training_ops_physical_plans(spark):
     the physical pid (no single-partition exchange) and stays JVM."""
     from basic_common_crawl_pipeline_spark.plans.catalog import QUERIES
 
+    # r6: the adaptive input spread (operators/spread.py) widens the
+    # degenerate 1-split local scan with ONE round-robin exchange; the
+    # scale contract is unchanged — no data-dependent (hash) shuffle,
+    # no Python crossing, and a many-split input takes no exchange.
     p = _plan(QUERIES["text_repetition"](spark, SF))
-    assert "Exchange" not in p and "MapInPandas" not in p
+    assert "hashpartitioning" not in p and "MapInPandas" not in p
+    assert p.count("Exchange") <= 1
 
     p = _plan(QUERIES["text_sample_rebalance"](spark, SF))
     assert "Exchange" not in p and "PushedFilters" in p
@@ -429,9 +434,12 @@ def test_training_ops_physical_plans(spark):
     assert "windowspecdefinition(__pid" in p
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
 
-    # PII redaction is a narrow map over the scan: no shuffle, all JVM
+    # PII redaction is a narrow map over the scan: no data-dependent
+    # shuffle (the adaptive spread's round-robin widens the 1-split
+    # local scan only), all JVM
     p = _plan(QUERIES["text_pii_redact"](spark, SF))
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
+    assert p.count("Exchange") <= 1
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
 
     # line dedup: mark join + reassembly, never a window (a per-doc
@@ -447,9 +455,12 @@ def test_training_ops_physical_plans(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
-    # PQ encode is a narrow compressed-encoding map: no shuffle, no UDF
+    # PQ encode is a narrow compressed-encoding map: no data-dependent
+    # shuffle (adaptive spread round-robins the 1-split local scan
+    # only), no UDF
     p = _plan(QUERIES["ann_pq_encode"](spark, SF))
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
+    assert p.count("Exchange") <= 1
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
 
     # PQ search: ADC shortlist via TakeOrderedAndProject over the codes,
