@@ -29,6 +29,7 @@ oracle process.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 
 # Comments are stripped before tokenization so that an *unclosed* comment
@@ -105,6 +106,152 @@ def decode_lossy(html: bytes | str | None) -> str | None:
     return html.decode("utf-8", errors="replace")
 
 
+# ---------------------------------------------------------------------------
+# Fast path: a strict-subset scanner equivalent to html.parser on the
+# documents it accepts (optimization guide §1.2 step 2 — per-task work).
+#
+# ``HTMLParser.feed`` costs ~200 µs per 10 KB page (generic tolerant-markup
+# regex machinery per tag + per-attribute parsing we never consume); the
+# crawl hot path additionally parsed every page TWICE (text pass + link
+# pass). The scanner below tokenizes the common well-formed subset with one
+# C-speed regex match per tag and collects text blocks AND hrefs in a
+# single pass. It REFUSES (returns None → callers fall back to the
+# html.parser implementations, which remain the semantic reference) any
+# document containing a construct whose html.parser handling it does not
+# replicate exactly:
+#
+# - comments (callers pre-check ``<!--``), declarations/PIs (``<!``/``<?``),
+# - any ``<`` that does not start a fully well-formed tag per _FAST_TAG_RE
+#   (html.parser's tolerant recovery on broken markup is NOT reproduced),
+# - script/style whose closing tag is not a plain ``</name␣*>`` (html.parser
+#   CDATA-mode recovery is NOT reproduced).
+#
+# On accepted input the event stream is provably identical to
+# html.parser's: data chunks are the inter-tag runs with ``unescape`` (the
+# exact function convert_charrefs uses) applied outside CDATA content; tag
+# and attribute names lowercase; attribute values unescaped; CDATA content
+# for script/style emitted as data; self-closing tags dispatch like
+# handle_startendtag. Equivalence is property-tested against the
+# html.parser implementations in tests/test_extract.py.
+# ---------------------------------------------------------------------------
+
+_FAST_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:=(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'`=]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:=(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s<>\"'`=]+)))?"
+)
+_CDATA_OPEN = {"script", "style"}
+# html.parser's CDATA 'interesting' pattern is r'</\s*<name>' (re.I); the
+# close tag itself must then match endtagfind (r'</\s*NAME\s*>') with the
+# SAME element name, else html.parser keeps scanning — we only accept the
+# exact simple form and refuse the rest.
+_CDATA_FIND = {t: re.compile(r"</\s*" + t, re.I) for t in _CDATA_OPEN}
+_CDATA_END = {
+    t: re.compile(r"</\s*(" + t + r")\s*>", re.I) for t in _CDATA_OPEN
+}
+
+
+def _fast_first_href(attrs: str) -> str | None:
+    """First ``href`` value of an already-validated attr string, with
+    html.parser's lowercase-name and unescape-value semantics."""
+    for m in _FAST_ATTR_RE.finditer(attrs):
+        if m.group(1).lower() == "href":
+            v = m.group(2) or m.group(3) or m.group(4)
+            if v:
+                return unescape(v) if "&" in v else v
+            return None  # first href wins even when empty (parity)
+    return None
+
+
+def _fast_scan(s: str) -> tuple[list[str], list[str]] | None:
+    """One-pass (text blocks, raw hrefs) over the strict subset, or None
+    when the document must take the html.parser path. ``s`` must already
+    be comment-free (callers check ``'<!--' not in s``)."""
+    if "<!" in s or "<?" in s:
+        return None
+    blocks: list[str] = []
+    buf: list[str] = []
+    hrefs: list[str] = []
+    drop = 0
+    pos, n = 0, len(s)
+    find = s.find
+    while True:
+        lt = find("<", pos)
+        end = lt if lt >= 0 else n
+        if end > pos and drop == 0:
+            chunk = s[pos:end]
+            buf.append(unescape(chunk) if "&" in chunk else chunk)
+        if lt < 0:
+            break
+        m = _FAST_TAG_RE.match(s, lt)
+        if m is None:
+            return None
+        closing, name, attrs, selfclose = m.groups()
+        name = name.lower()
+        pos = m.end()
+        if closing:
+            if name in _DROP_SUBTREES:
+                if drop > 0:
+                    drop -= 1
+            elif name in _BLOCK_TAGS and name not in _VOID_TAGS and drop == 0:
+                if buf:
+                    text = " ".join("".join(buf).split())
+                    buf = []
+                    if text:
+                        blocks.append(text)
+        else:
+            if name == "a" and "href" in attrs.lower():
+                v = _fast_first_href(attrs)
+                if v:
+                    hrefs.append(v)
+            if selfclose:
+                # handle_startendtag parity: block flush only, no drop
+                # bookkeeping, no CDATA mode
+                if name in _BLOCK_TAGS and drop == 0:
+                    if buf:
+                        text = " ".join("".join(buf).split())
+                        buf = []
+                        if text:
+                            blocks.append(text)
+                continue
+            if name in _DROP_SUBTREES:
+                drop += 1
+            elif name in _BLOCK_TAGS and drop == 0:
+                if buf:
+                    text = " ".join("".join(buf).split())
+                    buf = []
+                    if text:
+                        blocks.append(text)
+            if name in _CDATA_OPEN:
+                mm = _CDATA_FIND[name].search(s, pos)
+                if mm is None:
+                    # unclosed CDATA element: html.parser emits the rest
+                    # as data inside the (dropped) subtree — nothing more
+                    # can be emitted, finish
+                    pos = n
+                    break
+                e = _CDATA_END[name].match(s, mm.start())
+                if e is None or e.group(1).lower() != name:
+                    return None  # CDATA recovery case — html.parser path
+                # content is data inside the dropped subtree; close tag:
+                if drop > 0:
+                    drop -= 1
+                pos = e.end()
+    # final flush parity: extract_text calls parser._flush() after close()
+    # UNCONDITIONALLY (no drop check) — pending data from before an
+    # unclosed drop subtree still flushes
+    if buf:
+        text = " ".join("".join(buf).split())
+        if text:
+            blocks.append(text)
+    return blocks, hrefs
+
+
 def extract_text(html: bytes | str | None) -> str | None:
     """HTML bytes → plain text, or None when nothing extractable.
 
@@ -115,22 +262,27 @@ def extract_text(html: bytes | str | None) -> str | None:
     if decoded is None or not decoded.strip():
         return None
     decoded = _COMMENT_RE.sub("", decoded)
-    parser = _TextExtractor()
-    try:
-        parser.feed(decoded)
-        parser.close()
-    except Exception:
-        # Malformed-document skip (extraction-failure skip F9,
-        # rust/src/bin/worker.rs:69-74).
-        return None
-    parser._flush()
-    if not parser.blocks:
+    fast = _fast_scan(decoded)
+    if fast is not None:
+        blocks = fast[0]
+    else:
+        parser = _TextExtractor()
+        try:
+            parser.feed(decoded)
+            parser.close()
+        except Exception:
+            # Malformed-document skip (extraction-failure skip F9,
+            # rust/src/bin/worker.rs:69-74).
+            return None
+        parser._flush()
+        blocks = parser.blocks
+    if not blocks:
         return None
     # deduplicate=True (rust/src/trafilatura.rs:18): drop exact repeats of
     # earlier blocks within the same document, preserving first occurrence.
     seen: set[str] = set()
     kept: list[str] = []
-    for block in parser.blocks:
+    for block in blocks:
         if block not in seen:
             seen.add(block)
             kept.append(block)

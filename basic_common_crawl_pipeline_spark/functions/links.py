@@ -12,7 +12,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
-from .extract import decode_lossy
+from .extract import _fast_scan, decode_lossy, extract_text
 from .urls import canon_host_surt
 
 
@@ -45,15 +45,32 @@ def extract_links_rich(
     decoded = decode_lossy(html)
     if not decoded:
         return []
-    parser = _LinkCollector()
-    try:
-        parser.feed(decoded)
-        parser.close()
-    except Exception:
-        return []
+    hrefs = None
+    if "<!--" not in decoded:
+        # comment-free: the strict-subset single-pass scanner sees the
+        # same byte stream html.parser would (functions/extract.py)
+        fast = _fast_scan(decoded)
+        if fast is not None:
+            hrefs = fast[1]
+    if hrefs is None:
+        parser = _LinkCollector()
+        try:
+            parser.feed(decoded)
+            parser.close()
+        except Exception:
+            return []
+        hrefs = parser.hrefs
+    return _resolve_links(hrefs, base_url)
+
+
+def _resolve_links(
+    hrefs: list[str], base_url: str
+) -> list[tuple[str, str, str]]:
+    """href list → (canon_url, host, surt) resolved/deduped — the shared
+    tail of ``extract_links_rich`` and ``extract_page``."""
     seen: set[str] = set()
     out: list[tuple[str, str, str]] = []
-    for href in parser.hrefs:
+    for href in hrefs:
         try:
             absolute = urljoin(base_url, href.strip())
         except ValueError:
@@ -63,3 +80,40 @@ def extract_links_rich(
             seen.add(canon)
             out.append((canon, host, surt_key))
     return out
+
+
+def extract_page(
+    html: bytes | str | None, base_url: str
+) -> tuple[str | None, list[tuple[str, str, str]]]:
+    """Fused ``(extract_text(html), extract_links_rich(html, base_url))``
+    in ONE decode and — on the comment-free strict subset — ONE parse
+    (the crawl hot loop previously parsed every page twice). Equivalence:
+
+    - comment-free documents: ``_COMMENT_RE.sub`` is the identity, so the
+      text pass and the link pass see the same byte stream; the fused
+      scanner collects blocks and hrefs from that single stream with
+      html.parser-identical events (see ``_fast_scan``), so both outputs
+      equal their two-pass counterparts by construction;
+    - any other document (comments present, or any construct the strict
+      scanner refuses) falls back to the exact two-pass functions.
+
+    Property-tested against the two-pass pair in tests/test_extract.py.
+    """
+    decoded = decode_lossy(html)
+    if decoded is None or not decoded.strip():
+        # extract_text returns None on blank docs; a whitespace-only doc
+        # has no <a> tags, so extract_links_rich would return [] too
+        return None, []
+    if "<!--" not in decoded:
+        fast = _fast_scan(decoded)
+        if fast is not None:
+            blocks, hrefs = fast
+            seen: set[str] = set()
+            kept: list[str] = []
+            for block in blocks:
+                if block not in seen:
+                    seen.add(block)
+                    kept.append(block)
+            text = "\n".join(kept) or None
+            return text, _resolve_links(hrefs, base_url)
+    return extract_text(html), extract_links_rich(html, base_url)

@@ -81,17 +81,26 @@ def _extract_batches(
     the text-fat extracted rows per wave — the same through-column rule
     the WARC fetch path uses (sources/warc.py)."""
     from ..functions.extract import EXTRACTORS
+    from ..functions.links import extract_page
 
     extract_fn = EXTRACTORS[extractor]
+    fused = extractor == "rust"  # extract_page fuses THIS extractor's pass
     for batch in batches:
         texts, links, nbytes = [], [], []
-        for url, html in zip(batch["canon_url"], batch["html"]):
-            texts.append(extract_fn(html))
+        # .tolist() first: iterating a pandas object Series pays per-item
+        # accessor overhead in this hot loop
+        for url, html in zip(
+            batch["canon_url"].tolist(), batch["html"].tolist()
+        ):
+            if fused:
+                # one decode + (strict subset) one parse for text AND
+                # links — the page was previously parsed twice
+                text, rich = extract_page(html, url)
+            else:
+                text, rich = extract_fn(html), extract_links_rich(html, url)
+            texts.append(text)
             links.append(
-                [
-                    {"url": c, "l_host": h, "l_surt": s}
-                    for c, h, s in extract_links_rich(html, url)
-                ]
+                [{"url": c, "l_host": h, "l_surt": s} for c, h, s in rich]
             )
             nbytes.append(len(html) if html is not None else 0)
         out = {"canon_url": batch["canon_url"]}

@@ -154,3 +154,107 @@ def test_extract_text_go_variant_semantics():
     assert extract_text(html) == "T\ndup\na b"
     assert extract_text_go(b"<p>   </p>") is None
     assert extract_text_go(None) is None
+
+
+def test_fast_scanner_matches_htmlparser_reference():
+    """r6 optimization pin: the strict-subset fast scanner used by
+    extract_text / extract_links_rich / extract_page must be event-
+    equivalent to the html.parser implementations on every document it
+    accepts, and must refuse (-> html.parser fallback) everything else.
+    Checked by running the public functions (which auto-select the fast
+    path) against reference implementations forced onto html.parser."""
+    import random
+
+    from basic_common_crawl_pipeline_spark.functions.extract import (
+        _COMMENT_RE,
+        _TextExtractor,
+        decode_lossy,
+    )
+    from basic_common_crawl_pipeline_spark.functions.links import (
+        _LinkCollector,
+        _resolve_links,
+        extract_links_rich,
+        extract_page,
+    )
+
+    def ref_text(html):
+        decoded = decode_lossy(html)
+        if decoded is None or not decoded.strip():
+            return None
+        decoded = _COMMENT_RE.sub("", decoded)
+        p = _TextExtractor()
+        try:
+            p.feed(decoded)
+            p.close()
+        except Exception:
+            return None
+        p._flush()
+        if not p.blocks:
+            return None
+        seen, kept = set(), []
+        for b in p.blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        return "\n".join(kept) or None
+
+    def ref_links(html, base):
+        decoded = decode_lossy(html)
+        if not decoded:
+            return []
+        p = _LinkCollector()
+        try:
+            p.feed(decoded)
+            p.close()
+        except Exception:
+            return []
+        return _resolve_links(p.hrefs, base)
+
+    cases = [
+        b'<html><head><title>d</title></head><body><h1>D</h1><p>s '
+        b'x</p><p><a href="http://a.test/x">n</a></p>'
+        b"<script>var x=1;</script></body></html>",
+        b"<p>keep</p><script>s='<p>no</p>';</script><style>p{}</style>"
+        b'<table><tr><td>c<a href="/t">t</a></td></tr></table><p>a</p>',
+        b"<!-- comment <a href='/c'>x</a> --><p>after</p>",
+        b"<p>before</p><!-- unclosed <p>gone</p>",
+        b'<p>a&amp;b &lt;x&gt; &#65;</p><a href="/p?a=1&amp;b=2">q</a>',
+        b"<p>bad \xff byte</p>",
+        b'<P CLASS="x">up</P><A HREF="/UP">U</A>',
+        b"<br/><hr/><p/>text<a href=\"/sc\"/>after",
+        b"<script><!-- </script><a href=/evil> --></script>",
+        b"<p>x<table><p>in</p></table>y</p>",
+        b"<p>broken < not a tag</p>",
+        b"<p a=b=c>weird</p>",
+        b"<p>trailing<",
+        b"<!DOCTYPE html><p>doc</p>",
+        b"<a href=''>e</a><a href=\"/first\" href=\"/second\">two</a>",
+        b"<ScRiPt>x</sCrIpT><p>after</p>",
+        b"<style>a</STYLE ><p>s</p>",
+        b"<p>a</p><script>never closes",
+        b'<a href = "/sp">spaces-around-eq</a>',
+        b'<a href="x>y">gt-in-attr</a>',
+        b"",
+        b"   ",
+        None,
+    ]
+    rnd = random.Random(0)
+    frag = [
+        "<p>", "</p>", "<a href='/r%d'>", "</a>", "text%d ", "<script>",
+        "</script>", "&amp;", "<table>", "</table>", "<!--", "-->",
+        "<br/>", "<div>", "</div>", "< ", ">", "&#66;",
+    ]
+    for i in range(800):
+        parts = []
+        for _ in range(rnd.randint(1, 25)):
+            f = rnd.choice(frag)
+            parts.append(f % i if "%d" in f else f)
+        cases.append("".join(parts).encode())
+
+    base = "http://base.test/dir/page"
+    for html in cases:
+        want_t, want_l = ref_text(html), ref_links(html, base)
+        assert extract_text(html) == want_t, html
+        assert extract_links_rich(html, base) == want_l, html
+        got_t, got_l = extract_page(html, base)
+        assert got_t == want_t and got_l == want_l, html
