@@ -195,6 +195,7 @@ def neardup_pairs(
     rows_per_band: int = 2,
     cell_cap: int = 100_000,
     cache: list | None = None,
+    broadcast_vectors_max: int = 1_000_000,
 ) -> DataFrame:
     """Embedding near-duplicates via banded random-hyperplane LSH:
     signature → band equi-join (cells over ``cell_cap`` rows dropped —
@@ -250,18 +251,38 @@ def neardup_pairs(
     vb = vn.select(
         F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    scored = (
-        pairs.join(va, "a")
-        .join(vb, "b")
-        .select(
-            "a",
-            "b",
-            round4(
-                _dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos"),
-        )
+    # Verify-join strategy (r6, guide §3.1): the pair join's exchanges
+    # carry a 64-float vector per pair side, so the shuffled shape moves
+    # ~550 B × |candidates| × 2 (measured 193 MB for 350k candidates at
+    # sf0.1) while the per-pair cosine fold is CPU-bound and must run
+    # post-join. When the vector table itself is broadcast-sized
+    # (n_vecs counted from the ALREADY-persisted sig frame — no extra
+    # scan), attach both sides by broadcast: only the (a, b) id pairs
+    # ever shuffle (explicit width, exempt from AQE byte-coalescing
+    # that otherwise ran the fold on 8 of 32 cores), and the fold runs
+    # at session width. Past the bound (10^10-vector corpora), keep the
+    # planner's shuffled joins — vectors-per-pair is then unavoidable.
+    width = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    n_vecs = sigs.count()  # materializes the persisted sigs eagerly
+    cos = round4(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    ).alias("cos")
+    if n_vecs <= broadcast_vectors_max:
+        scored = (
+            pairs.repartition(width)
+            .join(F.broadcast(va), "a")
+            .join(F.broadcast(vb), "b")
+            .select("a", "b", cos)
+        )
+    else:
+        scored = (
+            pairs.join(va, "a")
+            .repartition(width, F.col("b"))
+            .join(vb.repartition(width, F.col("b")), "b")
+            .select("a", "b", cos)
+        )
     return scored.filter(F.col("cos") >= threshold)
 
 

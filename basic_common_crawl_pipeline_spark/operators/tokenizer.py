@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import word_tokens
+from .spread import spread_input
 
 
 def word_frequency_table(
@@ -56,7 +57,9 @@ def word_frequency_table(
 ) -> DataFrame:
     """The Zipf-collapsed training input: (word, freq) over the corpus.
     One explode + one map-side-combined hash aggregate; everything
-    downstream of this runs on distinct words only."""
+    downstream of this runs on distinct words only. The tokenize runs at
+    the scan's width — adaptively spread first (operators/spread.py)."""
+    df = spread_input(df)
     toks = df.select(F.explode(word_tokens(text_col)).alias("__t")).filter(
         F.col("__t") != ""
     )
@@ -112,11 +115,59 @@ def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _merge_syms_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-side twin of ``_merge_fold``: greedy left-to-right single
+    pass with the carry accumulator — [l,l,l] under (l,l) → [ll, l]."""
+    out: list[str] = []
+    prev: str | None = None
+    for s in syms:
+        if prev is None:
+            prev = s
+        elif prev == a and s == b:
+            out.append(a + b)
+            prev = None
+        else:
+            out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def _bpe_train_local(
+    rows: list, num_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list]:
+    """The merge loop over a COLLECTED word table — identical semantics
+    to the distributed rounds (pair counts weighted by word freq; top-1
+    by (count desc, a asc, b asc) — Python str comparison is code-point
+    order, which equals Spark's unsigned-UTF8-byte string order; greedy
+    fold). Returns (merges, [(word, freq, syms), ...])."""
+    table = [(r[0], int(r[1]), list(r[2])) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, syms in table:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, cnt))
+        table = [
+            (w, freq, _merge_syms_py(syms, a, b)) for w, freq, syms in table
+        ]
+    return merges, table
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 6,
     cache: list | None = None,
+    driver_train_max_words: int = 100_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``num_merges`` BPE merge rules on the corpus. Returns
     ``(merges, words)`` where ``merges`` is the learned rule list
@@ -149,6 +200,33 @@ def bpe_train(
     )
     if cache is not None:
         cache.append(wf)
+
+    # r6 (guide §1.2 step 1 — use problem knowledge the planner lacks):
+    # the Zipf collapse makes the word table orders of magnitude smaller
+    # than the corpus, and the merge rounds touch ONLY that table. When
+    # it fits comfortably on the driver (≤ driver_train_max_words — a
+    # bounded-metadata collect, the kmeans-summary discipline, ~10 MB at
+    # the default), run the rounds locally: identical merges and final
+    # symbol table by construction (pinned by a property test against
+    # the distributed rounds), zero per-round Spark jobs. A 100 TB
+    # corpus (~10^8 distinct words) exceeds the bound and takes the
+    # distributed loop below unchanged.
+    n_words = wf.count()
+    if n_words <= driver_train_max_words:
+        spark = df.sparkSession
+        merges, table = _bpe_train_local(
+            wf.select("word", "freq", "syms").collect(), num_merges
+        )
+        words = spark.createDataFrame(
+            table, "word string, freq bigint, syms array<string>"
+        ).persist()
+        if cache is not None:
+            cache.append(words)
+        else:
+            # hand the single cached-frame unpersist to the caller, like
+            # the distributed path's returned frame
+            wf.unpersist()
+        return merges, words
 
     merges: list[tuple[int, str, str, int]] = []
     retire: DataFrame | None = None
@@ -225,6 +303,7 @@ def bpe_segment_words(
     untrained-BPE behavior — and counts into ``n_oov``. An inner join
     would silently drop OOV occurrences from every count and erase
     all-OOV documents from the output entirely."""
+    corpus = spread_input(corpus, id_col)
     toks = corpus.select(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
     ).filter(F.col("__t") != "")
@@ -296,6 +375,7 @@ def bpe_encode(
     id."""
     if vocab is None:
         vocab = bpe_vocab(words)
+    corpus = spread_input(corpus, id_col)
     spark = corpus.sparkSession
     vocab_df = spark.createDataFrame(
         [(p, i) for i, p in enumerate(vocab)],

@@ -1515,3 +1515,23 @@ def test_kmeans_int_empty_cluster_keeps_centroid(spark):
     for c in cache:
         c.unpersist()
     assert got == {0: 0, 1: 1, 2: 1, 3: 1}
+
+
+def test_neardup_pairs_shuffle_path_equals_broadcast_path(spark):
+    """r6 pin: neardup_pairs' two verify-join strategies (broadcast
+    vectors when the table fits vs co-partitioned shuffled joins at
+    scale) must return identical pairs."""
+    from basic_common_crawl_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1: list = []
+    c2: list = []
+    a = similarity.neardup_pairs(emb, threshold=0.35, cache=c1)
+    b = similarity.neardup_pairs(
+        emb, threshold=0.35, cache=c2, broadcast_vectors_max=0
+    )
+    got = sorted((r["a"], r["b"], r["cos"]) for r in a.collect())
+    want = sorted((r["a"], r["b"], r["cos"]) for r in b.collect())
+    assert got == want and len(got) > 0
+    for c in c1 + c2:
+        c.unpersist()

@@ -297,3 +297,32 @@ def test_bpe_encode_ids_match_reference_and_handle_oov(spark):
     assert -1 in [int(x) for x in got[12]["ids_csv"].split(" ")]
     for c in cache:
         c.unpersist()
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """r6 pin: the bounded driver-side merge loop (default when the word
+    table fits) must reproduce the distributed rounds exactly — same
+    merges, same final symbol table."""
+    from basic_common_crawl_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c1: list = []
+    c2: list = []
+    merges_local, words_local = bpe_train(docs, num_merges=6, cache=c1)
+    merges_dist, words_dist = bpe_train(
+        docs, num_merges=6, cache=c2, driver_train_max_words=0
+    )
+    assert merges_local == merges_dist
+    got = {
+        r["word"]: (r["freq"], list(r["syms"]))
+        for r in words_local.collect()
+    }
+    want = {
+        r["word"]: (r["freq"], list(r["syms"]))
+        for r in words_dist.collect()
+    }
+    assert got == want
+    for c in c1 + c2:
+        c.unpersist()
