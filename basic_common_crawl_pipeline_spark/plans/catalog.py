@@ -1227,6 +1227,9 @@ def text_vocab_topk(spark, sf_dir):
     map-side partial combine (the shuffle carries one row per distinct
     token per partition, never per occurrence) → TakeOrderedAndProject.
     At 100 TB this is exactly the BPE-vocab counting job."""
+    # no spread: measured 0.25 -> 0.40 s with one at sf0.1 — the
+    # explode+partial-aggregate is cheap enough that the extra exchange
+    # stage dominates
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(ts.word_tokens("text")).alias("tok"))
@@ -1291,6 +1294,9 @@ def text_sequence_packing(spark, sf_dir):
     scale."""
     from ..operators.training import pack_token_stream
 
+    # no spread: measured 0.64 -> 0.74 s with one (same reasoning as
+    # text_token_budget_sample — one token count per row, range shuffle
+    # follows anyway)
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", ts.token_count("text").cast("long").alias("n_tok")
@@ -4121,6 +4127,10 @@ def text_token_budget_sample(spark, sf_dir):
     oracle's per-source SQL window would do."""
     from ..operators.training import token_budget_sample
 
+    # no spread: the per-row work is ONE token count and the prefix sum
+    # range-shuffles anyway — measured 0.73 -> 0.86 s WITH a spread
+    # exchange at sf0.1 (r6), so the extra stage costs more than the
+    # parallel tokenize saves here
     docs = load(spark, sf_dir, "documents")
     toks = ts.word_tokens("text")
     base = docs.select(
@@ -4252,8 +4262,10 @@ def text_bm25_topk(spark, sf_dir):
     (N, Σdl, per-term df); pass 2 broadcasts that row back and scores
     each doc independently; TakeOrderedAndProject keeps k rows per
     partition. idf is the Robertson odds ratio without the log —
-    monotone-identical ranking, and bit-exact cross-engine (no libm)."""
-    docs = load(spark, sf_dir, "documents")
+    monotone-identical ranking, and bit-exact cross-engine (no libm).
+    The per-row tf/dl array filters are interpreted and feed BOTH passes
+    — adaptively spread the 1-split local scan first."""
+    docs = spread_input(load(spark, sf_dir, "documents"))
     toks = ts.word_tokens("text")
     def tf_col(term: str) -> F.Column:
         # NB: a 2-arg lambda would make F.filter pass (element, index) —
