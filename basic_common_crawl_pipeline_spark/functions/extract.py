@@ -171,7 +171,14 @@ def _fast_first_href(attrs: str) -> str | None:
 def _fast_scan(s: str) -> tuple[list[str], list[str]] | None:
     """One-pass (text blocks, raw hrefs) over the strict subset, or None
     when the document must take the html.parser path. ``s`` must already
-    be comment-free (callers check ``'<!--' not in s``)."""
+    be comment-free (callers check ``'<!--' not in s``).
+
+    Driven by ONE ``finditer`` over the tag regex (C-speed scanning
+    between tags) instead of a per-'<' find+match loop; the subset
+    guarantee is kept by refusing any inter-tag data run (or tail) that
+    still contains '<' — exactly the positions the stepwise loop would
+    have failed to match. Matches starting inside consumed CDATA
+    content are skipped by position."""
     if "<!" in s or "<?" in s:
         return None
     blocks: list[str] = []
@@ -179,18 +186,16 @@ def _fast_scan(s: str) -> tuple[list[str], list[str]] | None:
     hrefs: list[str] = []
     drop = 0
     pos, n = 0, len(s)
-    find = s.find
-    while True:
-        lt = find("<", pos)
-        end = lt if lt >= 0 else n
-        if end > pos and drop == 0:
-            chunk = s[pos:end]
-            buf.append(unescape(chunk) if "&" in chunk else chunk)
-        if lt < 0:
-            break
-        m = _FAST_TAG_RE.match(s, lt)
-        if m is None:
-            return None
+    for m in _FAST_TAG_RE.finditer(s):
+        start = m.start()
+        if start < pos:
+            continue  # inside already-consumed CDATA content
+        if start > pos:
+            chunk = s[pos:start]
+            if "<" in chunk:
+                return None  # an unmatched '<' — html.parser recovery
+            if drop == 0:
+                buf.append(unescape(chunk) if "&" in chunk else chunk)
         closing, name, attrs, selfclose = m.groups()
         name = name.lower()
         pos = m.end()
@@ -242,6 +247,12 @@ def _fast_scan(s: str) -> tuple[list[str], list[str]] | None:
                 if drop > 0:
                     drop -= 1
                 pos = e.end()
+    if pos < n:
+        chunk = s[pos:]
+        if "<" in chunk:
+            return None  # unmatched '<' in the tail
+        if drop == 0:
+            buf.append(unescape(chunk) if "&" in chunk else chunk)
     # final flush parity: extract_text calls parser._flush() after close()
     # UNCONDITIONALLY (no drop check) — pending data from before an
     # unclosed drop subtree still flushes
