@@ -51,6 +51,13 @@ def check_pid_layout(parted: DataFrame, n_parts: int, seen_pids) -> None:
     - every summary pid must lie in ``[0, actual)`` of the materialized
       frame — a pid outside it means the summary execution saw a
       different layout than the cached blocks the consumer will read.
+
+    Best-effort (ADVICE r5): a recompute that yields the SAME partition
+    count with shifted range boundaries (pids renumbered within
+    ``[0, actual)``) passes both checks undetected — the guard catches
+    count growth and out-of-range pids, not same-count boundary drift;
+    the persist/explicit-count discipline above is what actually
+    prevents that case.
     """
     actual = parted.rdd.getNumPartitions()
     if actual > n_parts:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -251,32 +252,72 @@ def neardup_pairs(
     vb = vn.select(
         F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    # Verify-join strategy (r6, guide §3.1): the pair join's exchanges
-    # carry a 64-float vector per pair side, so the shuffled shape moves
-    # ~550 B × |candidates| × 2 (measured 193 MB for 350k candidates at
-    # sf0.1) while the per-pair cosine fold is CPU-bound and must run
-    # post-join. When the vector table itself is broadcast-sized
-    # (n_vecs counted from the ALREADY-persisted sig frame — no extra
-    # scan), attach both sides by broadcast: only the (a, b) id pairs
-    # ever shuffle (explicit width, exempt from AQE byte-coalescing
-    # that otherwise ran the fold on 8 of 32 cores), and the fold runs
-    # at session width. Past the bound (10^10-vector corpora), keep the
-    # planner's shuffled joins — vectors-per-pair is then unavoidable.
+    # Verify strategy (r6, guide §3.1 + §4.2): candidate counts are
+    # quadratic in cell size (the oracle-pinned 4-key band geometry makes
+    # cells of n/4), so the verify dominates at scale two ways — its
+    # exchanges carry a 64-float vector per pair side (measured 193 MB
+    # for ~350k candidates at sf0.1), and the per-pair interpreted
+    # zip_with fold costs ~40 µs (higher-order functions get no codegen).
+    # When the vector table is bounded (``broadcast_vectors_max``,
+    # counted from the ALREADY-persisted sig frame), ship only the
+    # (a, b) id pairs (explicit width — AQE byte-coalescing otherwise
+    # ran the CPU-bound verify on 8 of 32 cores) and compute the cosine
+    # in an Arrow-vectorized batch kernel against a broadcast matrix:
+    # per batch, ONE numpy multiply-add per dimension, accumulated in
+    # EXACTLY the fold's left-to-right order — IEEE double +/*,/,sqrt,
+    # floor are correctly rounded elementwise in both engines, so the
+    # round4 cosine is bit-identical to the JVM fold (pinned by
+    # tests/test_operators.py equality of both paths). Norms are the
+    # JVM-fold values collected from ``vn``, not recomputed. Past the
+    # bound (10^10-vector corpora), keep the planner's shuffled joins +
+    # JVM fold — vectors-per-pair is then unavoidable.
     width = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     n_vecs = sigs.count()  # materializes the persisted sigs eagerly
-    cos = round4(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    ).alias("cos")
     if n_vecs <= broadcast_vectors_max:
-        scored = (
-            pairs.repartition(width)
-            .join(F.broadcast(va), "a")
-            .join(F.broadcast(vb), "b")
-            .select("a", "b", cos)
+        import numpy as np
+
+        rows = vn.collect()  # bounded: ≤ broadcast_vectors_max rows
+        rows.sort(key=lambda r: r["id"])
+        dim = len(rows[0]["v"]) if rows else 1
+        sc = df.sparkSession.sparkContext
+        b_ids = sc.broadcast(
+            np.array([r["id"] for r in rows], dtype=np.int64)
+        )
+        b_mat = sc.broadcast(
+            np.array(
+                [list(r["v"]) for r in rows], dtype=np.float64
+            ).reshape(len(rows), dim)
+        )
+        b_norm = sc.broadcast(
+            np.array([r["n"] for r in rows], dtype=np.float64)
+        )
+
+        @F.pandas_udf("double")
+        def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            ids, m, nn = b_ids.value, b_mat.value, b_norm.value
+            ai = np.searchsorted(ids, a.to_numpy())
+            bi = np.searchsorted(ids, b.to_numpy())
+            mav, mbv = m[ai], m[bi]
+            acc = np.zeros(len(mav), dtype=np.float64)
+            for j in range(m.shape[1]):
+                acc = acc + mav[:, j] * mbv[:, j]
+            cos = acc / (nn[ai] * nn[bi])
+            return pd.Series(np.floor(cos * 10000.0 + 0.5) / 10000.0)
+
+        # nondeterministic marker: stops the optimizer pushing the
+        # (expensive) UDF projection below the explicit repartition,
+        # which would re-serialize it onto the distinct's coalesced
+        # partitions (guide §4.4's duplication/pushdown hazard)
+        pair_cos = _pair_cos.asNondeterministic()
+        scored = pairs.repartition(width).select(
+            "a", "b", pair_cos("a", "b").alias("cos")
         )
     else:
+        cos = round4(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cos")
         scored = (
             pairs.join(va, "a")
             .repartition(width, F.col("b"))

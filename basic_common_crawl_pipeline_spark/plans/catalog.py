@@ -3890,6 +3890,13 @@ _BPE_CHAIN = _BPE_BASE + "," + ",".join(
 # Shared by text_bpe_encode and text_pack_ids — ONE source of truth for
 # the encode contract (vocab ranking, tokenization filter, lowercase
 # rule, unk id); both oracles interpolate this block verbatim.
+# NB (oracle precondition, ADVICE r5): ``wid`` INNER-joins corpus words
+# to the trained segmentation table while bpe_encode falls back to
+# character pieces for OOV words — equality holds because the encode
+# corpus IS the training corpus at the gate (every word appears in
+# s{merges+1}). Reusing this CTE for a divergent corpus would silently
+# drop OOV words from the oracle; add a LEFT JOIN + char-fallback branch
+# first if that ever changes.
 _BPE_ENCODE_CTES = f"""
     vocab AS (
       SELECT sym AS piece,

@@ -197,7 +197,10 @@ def _run_prep(spark, args) -> None:
                     "sequences": 0,
                     "tokens": 0,
                     "shards": 0,
-                    "out": args.out,
+                    # nothing was written: report null so a consumer
+                    # can't pick up a stale shard dir from an earlier
+                    # run at the same path (ADVICE r5)
+                    "out": None,
                 }
             )
         )
@@ -244,7 +247,9 @@ def _run_prep(spark, args) -> None:
                 "sequences": summary["n_seqs"],
                 "tokens": int(summary["n_tokens"] or 0),
                 "shards": summary["n_shards"],
-                "out": args.out,
+                # null when the write was skipped (zero sequences) —
+                # see the n_kept == 0 branch above
+                "out": args.out if summary["n_seqs"] > 0 else None,
             }
         )
     )
