@@ -186,6 +186,54 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     )
 
 
+def _np_norms(mat) -> "object":
+    """Vector norms over a (n, dim) float64 matrix with the EXACT
+    left-to-right per-dimension accumulation of ``_norm``'s JVM fold
+    ((0.0 + v₀²) + v₁² + … then sqrt) — elementwise IEEE double ops are
+    correctly rounded, so the result is bit-identical per row."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
+def _pair_cos_kernel(spark, ids, mat, norms):
+    """(a, b) id pair → round4 cosine, as an Arrow-vectorized batch
+    kernel over a BROADCAST id-sorted matrix (guide §4.2): per batch,
+    one numpy multiply-add per dimension accumulated in the JVM fold's
+    exact left-to-right order, then the round4 floor formula — all
+    elementwise IEEE double ops, so the value is bit-identical to the
+    interpreted ``_dot``/``round4`` expression (pinned by the
+    path-equality tests). The returned UDF is marked nondeterministic
+    so the optimizer cannot push the (expensive) projection below an
+    explicit-width repartition onto byte-coalesced partitions (guide
+    §4.4's pushdown hazard)."""
+    import numpy as np
+
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    b_norm = sc.broadcast(norms)
+
+    @F.pandas_udf("double")
+    def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vids, m, nn = b_ids.value, b_mat.value, b_norm.value
+        ai = np.searchsorted(vids, a.to_numpy())
+        bi = np.searchsorted(vids, b.to_numpy())
+        mav, mbv = m[ai], m[bi]
+        acc = np.zeros(len(mav), dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc = acc + mav[:, j] * mbv[:, j]
+        cos = acc / (nn[ai] * nn[bi])
+        return pd.Series(np.floor(cos * 10000.0 + 0.5) / 10000.0)
+
+    return _pair_cos.asNondeterministic()
+
+
 def neardup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -281,36 +329,13 @@ def neardup_pairs(
         rows = vn.collect()  # bounded: ≤ broadcast_vectors_max rows
         rows.sort(key=lambda r: r["id"])
         dim = len(rows[0]["v"]) if rows else 1
-        sc = df.sparkSession.sparkContext
-        b_ids = sc.broadcast(
-            np.array([r["id"] for r in rows], dtype=np.int64)
-        )
-        b_mat = sc.broadcast(
-            np.array(
-                [list(r["v"]) for r in rows], dtype=np.float64
-            ).reshape(len(rows), dim)
-        )
-        b_norm = sc.broadcast(
-            np.array([r["n"] for r in rows], dtype=np.float64)
-        )
-
-        @F.pandas_udf("double")
-        def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-            ids, m, nn = b_ids.value, b_mat.value, b_norm.value
-            ai = np.searchsorted(ids, a.to_numpy())
-            bi = np.searchsorted(ids, b.to_numpy())
-            mav, mbv = m[ai], m[bi]
-            acc = np.zeros(len(mav), dtype=np.float64)
-            for j in range(m.shape[1]):
-                acc = acc + mav[:, j] * mbv[:, j]
-            cos = acc / (nn[ai] * nn[bi])
-            return pd.Series(np.floor(cos * 10000.0 + 0.5) / 10000.0)
-
-        # nondeterministic marker: stops the optimizer pushing the
-        # (expensive) UDF projection below the explicit repartition,
-        # which would re-serialize it onto the distinct's coalesced
-        # partitions (guide §4.4's duplication/pushdown hazard)
-        pair_cos = _pair_cos.asNondeterministic()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array(
+            [list(r["v"]) for r in rows], dtype=np.float64
+        ).reshape(len(rows), dim)
+        # norms are the JVM-fold values straight from vn, not recomputed
+        norms = np.array([r["n"] for r in rows], dtype=np.float64)
+        pair_cos = _pair_cos_kernel(df.sparkSession, ids, mat, norms)
         scored = pairs.repartition(width).select(
             "a", "b", pair_cos("a", "b").alias("cos")
         )
@@ -693,6 +718,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cell_cap: int = 100_000,
     cache: list | None = None,
+    broadcast_vectors_max: int = 1_000_000,
+    kernel_min_vectors: int = 10_000,
 ) -> DataFrame:
     """Cluster-then-prune semantic deduplication (the SemDeDup shape,
     Abbas et al. 2023, arXiv:2303.09540): coarse-quantize every vector
@@ -728,34 +755,82 @@ def semantic_dedup(
     ).persist()
     if cache is not None:
         cache.append(assigned)
-    # norms as a COLUMN before the pair join: the join's exchange
-    # materializes one norm fold per ROW; a norm inside the post-join
-    # cosine filter would re-fold per PAIR (≈ cluster-size× more work —
-    # measured 2.5× end-to-end at sf0.1). Same IEEE ops, same round4.
-    in_cells = _cap_cells(assigned, cell_cap, keys=("list_id",)).withColumn(
-        "nv", _norm(F.col("v"))
-    )
-    left = in_cells.alias("l")
-    right = in_cells.alias("r")
-    drops = (
-        left.join(
-            right,
-            on=[
-                F.col("l.list_id") == F.col("r.list_id"),
-                F.col("l.id") < F.col("r.id"),
-            ],
+    # In-cluster verify (r6, same strategy as neardup_pairs): in the
+    # bounded regime, the pair join carries ONLY (id, list_id) and the
+    # round4 cosine comes from the Arrow-vectorized broadcast-matrix
+    # kernel (_pair_cos_kernel — bit-identical to the JVM fold; norms
+    # via _np_norms' identical accumulation). In-cluster candidates are
+    # ~n²/(2k), so below ``kernel_min_vectors`` the collect+broadcast+
+    # Arrow setup outweighs the saved folds (measured at sf0.1/2000
+    # vecs: 1.12 → 1.60 s with the kernel; at sf1.0/20000 vecs the
+    # kernel wins 6.7 → 4.0 s) — small inputs keep the JVM fold, as
+    # does anything past ``broadcast_vectors_max`` (the shape below:
+    # norms as COLUMNS before the join — a norm inside the post-join
+    # filter would re-fold per PAIR, measured 2.5×).
+    n_vecs = assigned.count()  # materializes the persisted assignment
+    if kernel_min_vectors < n_vecs <= broadcast_vectors_max:
+        import numpy as np
+
+        rows = assigned.select("id", "v").collect()  # bounded
+        rows.sort(key=lambda r: r["id"])
+        dim = len(rows[0]["v"]) if rows else 1
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array(
+            [list(r["v"]) for r in rows], dtype=np.float64
+        ).reshape(len(rows), dim)
+        pair_cos = _pair_cos_kernel(
+            df.sparkSession, ids, mat, _np_norms(mat)
         )
-        .filter(
-            round4(
-                _dot(F.col("l.v"), F.col("r.v"))
-                / (F.col("l.nv") * F.col("r.nv"))
+        width = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        slim = _cap_cells(
+            assigned.select("id", "list_id"), cell_cap, keys=("list_id",)
+        )
+        cand = (
+            slim.alias("l")
+            .join(
+                slim.alias("r"),
+                on=[
+                    F.col("l.list_id") == F.col("r.list_id"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
             )
-            >= threshold
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         )
-        .select(F.col("r.id").alias("id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+        drops = (
+            cand.repartition(width)
+            .select("b", pair_cos("a", "b").alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+    else:
+        in_cells = _cap_cells(
+            assigned, cell_cap, keys=("list_id",)
+        ).withColumn("nv", _norm(F.col("v")))
+        left = in_cells.alias("l")
+        right = in_cells.alias("r")
+        drops = (
+            left.join(
+                right,
+                on=[
+                    F.col("l.list_id") == F.col("r.list_id"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .filter(
+                round4(
+                    _dot(F.col("l.v"), F.col("r.v"))
+                    / (F.col("l.nv") * F.col("r.nv"))
+                )
+                >= threshold
+            )
+            .select(F.col("r.id").alias("id"))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
     return (
         assigned.join(drops, "id", "left")
         .select(

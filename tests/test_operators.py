@@ -1535,3 +1535,29 @@ def test_neardup_pairs_shuffle_path_equals_broadcast_path(spark):
     assert got == want and len(got) > 0
     for c in c1 + c2:
         c.unpersist()
+
+
+def test_semantic_dedup_kernel_path_equals_jvm_path(spark):
+    """r6 pin: semantic_dedup's Arrow batch-kernel verify (used above
+    kernel_min_vectors) must produce the identical kept set as the JVM
+    fold path."""
+    from basic_common_crawl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1: list = []
+    c2: list = []
+    a = semantic_dedup(
+        emb, threshold=0.35, cache=c1, kernel_min_vectors=0
+    )
+    b = semantic_dedup(
+        emb, threshold=0.35, cache=c2, kernel_min_vectors=1 << 40
+    )
+    got = sorted((r["vec_id"], r["list_id"], r["kept"]) for r in a.collect())
+    want = sorted(
+        (r["vec_id"], r["list_id"], r["kept"]) for r in b.collect()
+    )
+    assert got == want and len(got) > 0
+    for c in c1 + c2:
+        c.unpersist()
