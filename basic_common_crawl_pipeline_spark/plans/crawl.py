@@ -296,6 +296,9 @@ def run_crawl(
                 seen_bloom=state.seen_bloom,
                 bloom=bloom,
                 frontier_count=frontier_count,
+                # wave 0 of a fresh run: seen is the empty frame by
+                # construction — run_wave skips the identity anti-join
+                seen_is_empty=fresh_start and state.wave == 0,
             )
             state.metrics.append(out.metrics)
             next_seq = state.next_seq + out.metrics["selected"]

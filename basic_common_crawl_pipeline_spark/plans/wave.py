@@ -199,6 +199,7 @@ def run_wave(
     seen_bloom: DataFrame | None = None,
     bloom=None,
     frontier_count: int | None = None,
+    seen_is_empty: bool = False,
 ) -> WaveOutput:
     # join-strategy choice (J1): static bool from config, or — in "auto"
     # mode — per wave from the frontier row count the caller measured in
@@ -216,7 +217,13 @@ def run_wave(
     #    probe the (large) seen table — at 10^10 urls this shrinks the
     #    anti-join's probe side to ~|actually-seen| + ε false positives
     #    while keeping byte-exact semantics.
-    if seen_bloom is not None and bloom is not None:
+    if seen_is_empty:
+        # r6: wave 0 of a fresh crawl — the caller KNOWS seen is empty,
+        # and an anti-join (or bloom probe) against the empty set is the
+        # identity; skipping it removes one shuffle/probe stage from the
+        # first wave (the frontier is already unique by construction)
+        cand = frontier
+    elif seen_bloom is not None and bloom is not None:
         probed = bloom.contains(seen_bloom, frontier, "canon_url")
         definitely_new = probed.filter(~F.col("bloom_hit")).drop("bloom_hit")
         maybe_seen = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
