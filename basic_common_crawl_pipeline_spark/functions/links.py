@@ -9,11 +9,28 @@ first-occurrence order (document order = deterministic discovery order).
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
 from .extract import _fast_scan, decode_lossy, extract_text
-from .urls import canon_host_surt
+from .urls import _simple_triple, canon_host_surt
+
+# Absolute-href tier (r6): for a stripped href on this subset,
+# ``canon_host_surt(urljoin(base, href)) == canon_host_surt(href)`` — so
+# ``urljoin`` (29% of link-resolution CPU) can be skipped. Argument:
+# urljoin either returns the href unchanged (scheme differs from the
+# base's) or ``urlunparse(urlparse(href))``, which preserves
+# (scheme, netloc, path;params, query) and only drops *empty* fragment/
+# query/params markers — components canon_host_surt ignores or drops
+# identically. The charset therefore excludes ';' (an empty-params drop
+# DOES change the path: 'http://h/p;' → 'http://h/p') and all
+# control/whitespace/non-ASCII bytes (a dropped trailing marker can
+# expose them to canon_host_surt's outer strip); '(?![/?#])' requires a
+# non-empty authority (an empty netloc inherits the base's in urljoin).
+# [!-:<-~] = printable ASCII minus ';'. Property-tested against the
+# urljoin composition in tests/test_urls.py.
+_ABS_HREF_RE = re.compile(r"https?://(?![/?#])[!-:<-~]+\Z")
 
 
 class _LinkCollector(HTMLParser):
@@ -71,11 +88,21 @@ def _resolve_links(
     seen: set[str] = set()
     out: list[tuple[str, str, str]] = []
     for href in hrefs:
-        try:
-            absolute = urljoin(base_url, href.strip())
-        except ValueError:
-            continue
-        canon, host, surt_key = canon_host_surt(absolute)
+        href = href.strip()
+        # two fast tiers, both equality-pinned in tests/test_urls.py:
+        # already-canonical hrefs build the triple in one regex match;
+        # other absolute ASCII hrefs skip only the urljoin.
+        triple = _simple_triple(href)
+        if triple is None:
+            if _ABS_HREF_RE.match(href) is not None:
+                triple = canon_host_surt(href)
+            else:
+                try:
+                    absolute = urljoin(base_url, href)
+                except ValueError:
+                    continue
+                triple = canon_host_surt(absolute)
+        canon, host, surt_key = triple
         if canon is not None and canon not in seen:
             seen.add(canon)
             out.append((canon, host, surt_key))

@@ -16,9 +16,49 @@ from __future__ import annotations
 
 import hashlib
 import posixpath
+import re
 from urllib.parse import urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# Fast tier (r6, optimization guide §4 — per-task work in the Python hot
+# loop): one C-speed regex match builds the (canon, host, surt) triple
+# directly for URLs that are ALREADY canonical by inspection — lowercase
+# http(s) scheme, lowercase dotted host with no port/userinfo/IPv6/
+# trailing dot, a path with no empty ('//') or dot segments, printable
+# ASCII with no ';' (urlparse round-trips drop a trailing empty-params
+# ';'), no fragment. On this subset every canonicalize_url step is the
+# identity, so the triple is assembled from the match groups without
+# urlsplit/normpath/urlunsplit (~15 µs → ~1 µs per URL; URL prep was 41%
+# of the fused crawl extract's per-page profile). Equality with the slow
+# path is pinned by tests/test_urls.py (the hypothesis composition
+# property plus the dedicated fast-tier cases).
+_SEG_CH = r"[!\"$%&'()*+,\-.0-9:<=>@A-Z\[\\\]^_`a-z{|}~]"  # printable ASCII minus /?#; and space
+_QUERY_CH = r"[!\"$%&'()*+,\-./0-9:<=>?@A-Z\[\\\]^_`a-z{|}~]"  # minus #; and space
+_SIMPLE_URL_RE = re.compile(
+    r"(https?)://([a-z0-9_-]+(?:\.[a-z0-9_-]+)*)"
+    r"((?:/" + _SEG_CH + r"+)*/?)"
+    r"(?:\?(" + _QUERY_CH + r"*))?\Z"
+)
+
+
+def _simple_triple(url: str) -> tuple[str, str, str] | None:
+    """(canon, host, surt) for the already-canonical subset, else None.
+
+    ``url`` must be pre-stripped. Any '/.' occurrence falls back —
+    that refuses every dot/dot-dot path segment (where normpath is not
+    the identity) and, conservatively, segments merely *starting* with a
+    dot plus '/.' runs inside the query."""
+    m = _SIMPLE_URL_RE.match(url)
+    if m is None or "/." in url:
+        return None
+    scheme, host, path, query = m.group(1, 2, 3, 4)
+    tail = (path or "/") + (f"?{query}" if query else "")
+    return (
+        f"{scheme}://{host}{tail}",
+        host,
+        ",".join(reversed(host.split("."))) + ")" + tail,
+    )
 
 
 def canonicalize_url(url: str | None) -> str | None:
@@ -113,6 +153,9 @@ def canon_host_surt(
     url = url.strip()
     if not url:
         return (None, None, None)
+    fast = _simple_triple(url)
+    if fast is not None:
+        return fast
     try:
         parts = urlsplit(url)
     except ValueError:

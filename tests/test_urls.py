@@ -96,6 +96,75 @@ def test_fused_equals_composition_property(url):
     assert canon_host_surt(url) == _composed(url)
 
 
+def test_resolve_fast_tiers_equal_urljoin_composition():
+    """r6 fast tiers: _resolve_links must equal the plain
+    strip→urljoin→canon_host_surt composition on every href — the tiers
+    (_simple_triple one-regex build; _ABS_HREF_RE urljoin skip) exist for
+    speed only. Adversarial charset includes the known hazard classes:
+    ';' (urlparse empty-params drop), control/unicode whitespace (strip
+    exposure after round-trip), empty-netloc hrefs (base inheritance),
+    dot segments, '//' runs, uppercase schemes/hosts, fragments."""
+    import random
+    import string
+    from urllib.parse import urljoin as _uj
+
+    from basic_common_crawl_pipeline_spark.functions.links import (
+        _resolve_links,
+    )
+
+    def reference(hrefs, base):
+        seen, out = set(), []
+        for href in hrefs:
+            try:
+                absolute = _uj(base, href.strip())
+            except ValueError:
+                continue
+            canon, host, key = canon_host_surt(absolute)
+            if canon is not None and canon not in seen:
+                seen.add(canon)
+                out.append((canon, host, key))
+        return out
+
+    rng = random.Random(0xC0FFEE)
+    bases = [
+        "http://example.com/a/b",
+        "https://x.test/",
+        "http://a.b.c:8080/p?q=1",
+        "ftp://weird/",
+    ]
+    chars = (
+        string.ascii_letters
+        + string.digits
+        + "/.-_~%?#=&;:@!$'()*+,[]\\\" <>\t\n\r{}|^`\x00\x7f"
+        + "é漢\xa0  　"
+    )
+    schemes = ["http://", "https://", "", "//", "rel/", "HTTP://", "http:"]
+    for _ in range(4000):
+        href = rng.choice(schemes) + "".join(
+            rng.choice(chars) for _ in range(rng.randint(0, 30))
+        )
+        base = rng.choice(bases)
+        assert _resolve_links([href], base) == reference([href], base), href
+    # dense already-canonical-looking URLs stress the one-regex tier
+    hostc, pathc = "abcxyz019-._", "abcXYZ019-._~%!$&'()*+,:=@{}|\\^`\"<>"
+    for _ in range(4000):
+        host = "".join(rng.choice(hostc) for _ in range(rng.randint(1, 12)))
+        path = "".join(
+            "/" + "".join(rng.choice(pathc) for _ in range(rng.randint(0, 5)))
+            for _ in range(rng.randint(0, 4))
+        ) + ("/" if rng.random() < 0.3 else "")
+        query = (
+            "?" + "".join(
+                rng.choice(pathc + "/?") for _ in range(rng.randint(0, 8))
+            )
+            if rng.random() < 0.4
+            else ""
+        )
+        href = rng.choice(["http://", "https://"]) + host + path + query
+        base = rng.choice(bases)
+        assert _resolve_links([href], base) == reference([href], base), href
+
+
 def test_extract_links_rich_matches_extract_links():
     html = (
         b'<html><body><a href="/a">x</a><a href="B/../c?q=1#f">y</a>'
